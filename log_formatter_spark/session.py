@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and the driver
+contract agree. The reference engine's parallelism knobs (``pipeline.worker``,
+``input.kafka.worker`` — reference agent/pipeline/pipeline.go:27,
+agent/input/kafka/kafka.go:33) map to core count / shuffle partitions here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "log-formatter-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE on (coalesce + skew-join): runtime re-planning is our first line
+      of skew defense; explicit salting (operators/skew.py) is the second.
+    - Arrow on: the grok parser is a vectorized pandas UDF (no per-row
+      Python, per the north rule).
+    - UTC session timezone: keeps timestamp rendering identical between
+      Spark and the DuckDB oracle over the same parquet files.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{cores}]" if cores else "local[*]"
+    )
+    if shuffle_partitions is None:
+        n = cores or os.cpu_count() or 8
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
