@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries over $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing forces full materialization through the noop sink (count() would
+let Catalyst prune the very work being measured). Extra context keys
+(rows, turns/sec) ride along without disturbing the driver contract.
+
+The N-vs-4N scaling protocol (BASELINE.md §3) lives in
+bench_scaling.py — it needs two JVMs at different masters, which a
+single in-process run can't provide.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from log_formatter_spark import contract, get_spark
+from log_formatter_spark.pipeline import PipelineOptions, full_pipeline
+from log_formatter_spark.transcripts import synthetic_transcripts, transcripts_from_events
+
+HEADLINE = [
+    "pipeline_counts",
+    "pipeline_counts_jvm",
+    "parse_extract",
+    "enrich_join",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "text_stats",
+    "similarity_topk",
+    "similarity_lsh",
+    "dedup_embedding",
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("lfs-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = contract.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: synthetic transcripts at bench scale
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    t = synthetic_transcripts(spark, n_turns)
+    t0 = time.time()
+    _materialize(full_pipeline(spark, t, PipelineOptions(engine="arrow")))
+    flagship = time.time() - t0
+    times["flagship_synthetic"] = round(flagship, 3)
+    turns_per_sec = n_turns / flagship
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns_per_sec": round(turns_per_sec),
+                "bench_turns": n_turns,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""Driver-contract query catalog.
+
+One named entry per implemented operator (SURVEY.md §2 + the
+training-data layer), each as a ``(spark, sf_dir) -> DataFrame`` builder
+paired with an ANSI-SQL oracle that DuckDB evaluates over the same
+parquet tables. The driver compares row counts, schemas and
+order-insensitive value hashes — so every aliased column here is kept in
+lockstep between the Spark plan and the SQL string.
+
+Numeric parity policy (why exact hash-equality is achievable):
+- integer counts/ranks: exact in both engines;
+- doubles: formulas restricted to IEEE-deterministic ops (+,-,*,/,sqrt,
+  abs,least,greatest) evaluated in the same order on identically-cast
+  inputs → bit-identical results;
+- decimal-cast sums for float aggregations (order-independent exact
+  addition), cast back to double at the end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions import multimodal
+from log_formatter_spark.functions import shingles as sh
+from log_formatter_spark.functions import text as T
+from log_formatter_spark.lookups import (
+    ROLE_LOOKUP_SQL,
+    TOOL_LOOKUP_SQL,
+    role_lookup,
+    tool_lookup,
+)
+from log_formatter_spark.operators import dedup, similarity
+from log_formatter_spark.operators.filter import apply_filter
+from log_formatter_spark.operators.labels import stamp_labels
+from log_formatter_spark.operators.ordering import with_turn_order
+from log_formatter_spark.operators.parser import ParserConfig, apply_parser
+from log_formatter_spark.operators.route import ROUTE_SQL, sink_template_route
+from log_formatter_spark.operators.skew import salted_count
+from log_formatter_spark.pipeline import (
+    PipelineOptions,
+    full_pipeline,
+    parsed_enriched_routed,
+)
+from log_formatter_spark.transcripts import (
+    TRANSCRIPT_PATTERN,
+    TRANSCRIPTS_SQL,
+    transcripts_from_events,
+)
+
+# Tuned on the driver testdata so each pair query returns a non-trivial,
+# non-explosive result set (see tests/test_contract.py).
+SIMHASH_MAX_HAMMING = 4
+NGRAM_MIN_JACCARD = 0.05
+EMBED_MIN_COS = 0.9
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- transcript-pipeline oracle CTE chain ---------------------------------
+
+_P = TRANSCRIPT_PATTERN
+_EXTRACT = ",\n         ".join(
+    f"CASE WHEN regexp_matches(text, '{_P}') THEN regexp_extract(text, '{_P}', {i + 1}) END AS {g}"
+    for i, g in enumerate(["ts_str", "level", "tool_tag", "body"])
+)
+
+TRANSCRIPT_CTES = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+parsed AS (
+  SELECT t.*,
+         regexp_matches(text, '{_P}') AS parse_ok,
+         {_EXTRACT}
+  FROM transcripts t
+),
+enriched AS (
+  SELECT p.*, role_lookup.role_class, role_lookup.priority,
+         tool_lookup.tool_kind, tool_lookup.is_sideeffect
+  FROM parsed p
+  LEFT JOIN {ROLE_LOOKUP_SQL} ON p.role = role_lookup.role
+  LEFT JOIN {TOOL_LOOKUP_SQL} ON p.tool = tool_lookup.tool
+),
+routed AS (SELECT *, {ROUTE_SQL} AS route FROM enriched)
+"""
+
+
+def _pipeline_counts(engine: str) -> QueryFn:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = transcripts_from_events(spark, sf_dir)
+        return full_pipeline(spark, t, PipelineOptions(engine=engine))
+
+    return q
+
+
+_PIPELINE_COUNTS_SQL = (
+    TRANSCRIPT_CTES
+    + """
+SELECT route, role, tool, date_trunc('hour', ts) AS hour, count(*) AS n
+FROM routed GROUP BY route, role, tool, date_trunc('hour', ts)
+"""
+)
+
+
+def _parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_parser(t, ParserConfig(TRANSCRIPT_PATTERN, "text", engine="arrow"))
+    return parsed.select(
+        "conv_id", "turn_idx", "parse_ok", "ts_str", "level", "tool_tag", "body"
+    )
+
+
+def _enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    df = parsed_enriched_routed(spark, t)
+    return df.select(
+        "conv_id", "turn_idx", "role", "tool",
+        "role_class", "priority", "tool_kind", "is_sideeffect",
+    )
+
+
+def _route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    df = parsed_enriched_routed(spark, t)
+    return df.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _window_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return with_turn_order(t).select("conv_id", "turn_idx", "turn_order")
+
+
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return salted_count(t, "conv_id", n_salts=16)
+
+
+def _filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return apply_filter(t, include_fields=["^conv", "^turn", "^role$"])
+
+
+def _labels_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    stamped = stamp_labels(t, {"env": "prod", "pipeline_name": "lfs"})
+    return stamped.groupBy("env", "pipeline_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sink_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_parser(t, ParserConfig(TRANSCRIPT_PATTERN, "text", engine="arrow"))
+    routed = sink_template_route(parsed, "logs-{{level}}-{{role}}")
+    return routed.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- catalog --------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        # core pipeline (SURVEY.md §2)
+        "pipeline_counts": _pipeline_counts("arrow"),
+        "pipeline_counts_jvm": _pipeline_counts("jvm"),
+        "parse_extract": _parse_extract,
+        "enrich_join": _enrich_join,
+        "route_split": _route_split,
+        "window_ordering": _window_ordering,
+        "skew_salted_agg": _skew_salted_agg,
+        "filter_project": _filter_project,
+        "labels_stamp": _labels_stamp,
+        "sink_template_route": _sink_template,
+        "events_hourly": _events_hourly,
+        # text analysis
+        "text_stats": lambda s, d: T.text_stats(_docs(s, d)),
+        "token_count": lambda s, d: T.token_count(_docs(s, d)),
+        "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
+        # dedup
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_minhash": lambda s, d: dedup.minhash_pairs(_docs(s, d), n=3),
+        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(
+            _docs(s, d), max_hamming=SIMHASH_MAX_HAMMING
+        ),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), n=3, min_jaccard=NGRAM_MIN_JACCARD
+        ),
+        "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
+            _emb(s, d), min_cos=EMBED_MIN_COS
+        ),
+        # similarity search
+        "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
+        "similarity_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d), k=10),
+        # multimodal plumbing
+        "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pipeline_counts": _PIPELINE_COUNTS_SQL,
+        "pipeline_counts_jvm": _PIPELINE_COUNTS_SQL,
+        "parse_extract": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, parse_ok, ts_str, level, tool_tag, body FROM parsed",
+        "enrich_join": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, role, tool, role_class, priority, tool_kind,"
+        " is_sideeffect FROM enriched",
+        "route_split": TRANSCRIPT_CTES
+        + "SELECT route, count(*) AS n FROM routed GROUP BY route",
+        "window_ordering": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, CAST(row_number() OVER (PARTITION BY conv_id"
+        " ORDER BY turn_idx) AS INTEGER) AS turn_order FROM transcripts",
+        "skew_salted_agg": TRANSCRIPT_CTES
+        + "SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id",
+        "filter_project": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, role FROM transcripts",
+        "labels_stamp": TRANSCRIPT_CTES
+        + "SELECT 'prod' AS env, 'lfs' AS pipeline_name, count(*) AS n FROM transcripts",
+        "sink_template_route": TRANSCRIPT_CTES
+        + "SELECT 'logs-' || coalesce(level, '') || '-' || coalesce(role, '') AS route,"
+        " count(*) AS n FROM parsed GROUP BY 1",
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "text_stats": T.text_stats_sql(),
+        "token_count": T.token_count_sql(),
+        "lang_id": T.lang_id_sql(),
+        "doc_fingerprint": sh.fingerprint_sql(n=5),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash": dedup.minhash_pairs_sql(n=3),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
+            n=3, min_jaccard=NGRAM_MIN_JACCARD
+        ),
+        "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
+        "similarity_topk": similarity.brute_topk_sql(k=10),
+        "similarity_lsh": similarity.lsh_topk_sql(k=10),
+        "multimodal_meta": multimodal.media_metadata_sql(),
+    }

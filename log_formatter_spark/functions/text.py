@@ -1,0 +1,219 @@
+"""Text-analysis functions for the training-data pipeline layer.
+
+Whitespace tokenization, quality scoring, BPE-ish token counting and a
+stopword-profile language heuristic — each as JVM-side column
+expressions (whole-stage codegen, no Python) with a lockstep DuckDB SQL
+rendering for the driver's oracle.
+
+Design constraint: every formula uses only +, -, *, /, abs, least,
+greatest and integer counts — no transcendentals — so Spark and DuckDB
+produce bit-identical doubles (IEEE ops on identical inputs) and the
+driver's value-hash comparison passes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization ---------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
+
+
+# DuckDB rendering; format with x = string SQL expression.
+TOKENS_SQL = "list_filter(string_split(lower({x}), ' '), t -> t <> '')"
+
+# BPE-ish word/number/punct tokenizer (applied to lowercased text).
+# RE2-compatible so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# --- stopword profiles ----------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "is", "and"),
+    "fr": ("le", "la", "les", "de", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "es": ("el", "los", "las", "de", "y", "una"),
+}
+
+
+def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def _stop_hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"CAST(len(list_filter({toks}, t -> list_contains({wl}, t))) AS INTEGER)"
+
+
+# --- text_stats -----------------------------------------------------------
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats + a rational-arithmetic quality score.
+
+    All expressions are codegen'd JVM scalar ops over one scan — at
+    100 TB this is a map-only stage with zero shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("int").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).alias("_tok_chars"),
+        _stop_hits(toks, STOPWORDS).alias("n_stop"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), F.lit(0))).alias(
+            "_n_alpha"
+        ),
+    )
+    avg_tok = F.col("_tok_chars") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    alpha_ratio = F.col("_n_alpha") / F.col("n_chars")
+    len_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_tok - F.lit(5.0)) / F.lit(5.0))
+    size_term = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+    quality = (
+        F.lit(0.4) * size_term
+        + F.lit(0.3) * len_term
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_types",
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_stats_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST(length({text_col}) AS INTEGER) AS n_chars,
+         CAST(len({toks}) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct({toks})) AS INTEGER) AS n_types,
+         CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _tok_chars,
+         {_stop_hits_sql(toks, STOPWORDS)} AS n_stop,
+         CAST(len(regexp_extract_all(lower({text_col}), '[a-z]', 0)) AS INTEGER) AS _n_alpha
+  FROM {src}
+)
+SELECT {id_col}, n_chars, n_tokens, n_types,
+       _tok_chars / n_tokens AS avg_token_len,
+       n_stop / n_tokens AS stop_ratio,
+       _n_alpha / n_chars AS alpha_ratio,
+       0.4 * least(1.0, n_tokens / 100.0)
+     + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / n_tokens - 5.0) / 5.0)
+     + 0.3 * least(1.0, (n_stop / n_tokens) * 4.0) AS quality_score
+FROM base
+"""
+
+
+# --- token_count ----------------------------------------------------------
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def token_count_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+SELECT {id_col},
+       CAST(len({toks}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower({text_col}), '{BPE_TOKEN_RE}', 0)) AS INTEGER) AS n_bpe_tokens
+FROM {src}
+"""
+
+
+# --- lang_id --------------------------------------------------------------
+
+_LANG_ORDER = ("en", "fr", "de", "es")
+_MIN_SCORE = 0.05
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language heuristic.
+
+    Honest n-gram/function-word scoring: the driver's synthetic ``lang``
+    column is decorative (same vocabulary for every label), so the
+    contract here is determinism + cross-engine equality, not recovering
+    the label. Argmax with fixed tie order; all-below-threshold → 'und'.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        *[
+            _stop_hits(toks, LANG_STOPWORDS[lang]).alias(f"_h_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    scores = {lang: F.col(f"_h_{lang}") / F.col("_n") for lang in _LANG_ORDER}
+    # conditions are mutually exclusive (priority encoded via >/>=), so
+    # CASE order is irrelevant; tie-break: earlier lang in _LANG_ORDER wins
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        cond = scores[lang] >= F.lit(_MIN_SCORE)
+        for o in _LANG_ORDER:
+            if o == lang:
+                continue
+            # priority: an earlier lang wins ties, later must be strictly greater
+            if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[o])
+            else:
+                cond = cond & (scores[lang] >= scores[o])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return base.select(
+        id_col,
+        pred.alias("lang_pred"),
+        *[scores[lang].alias(f"{lang}_score") for lang in _LANG_ORDER],
+    )
+
+
+def lang_id_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    hits = ",\n         ".join(
+        f"{_stop_hits_sql(toks, LANG_STOPWORDS[lang])} AS _h_{lang}" for lang in _LANG_ORDER
+    )
+    score = {lang: f"(_h_{lang} / _n)" for lang in _LANG_ORDER}
+    whens = []
+    for lang in _LANG_ORDER:
+        conds = [f"{score[lang]} >= {_MIN_SCORE}"]
+        for o in _LANG_ORDER:
+            if o == lang:
+                continue
+            op = ">" if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang) else ">="
+            conds.append(f"{score[lang]} {op} {score[o]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    sel_scores = ", ".join(f"{score[lang]} AS {lang}_score" for lang in _LANG_ORDER)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, CAST(len({toks}) AS INTEGER) AS _n,
+         {hits}
+  FROM {src}
+)
+SELECT {id_col}, {case} AS lang_pred, {sel_scores}
+FROM base
+"""

