@@ -1,0 +1,71 @@
+"""Accumulator-backed metrics ledger.
+
+Replaces the reference's per-queue prometheus counters
+(``put_<q>``/``get_<q>`` on :2112/metrics — reference
+agent/connector/queue.go:30-39, connector.go:9-15) and its 5 s
+heartbeats (agent/manager.go:166-208) with:
+
+- SparkContext accumulators holding cumulative pipeline counters
+  (rows_in / rows_parsed / rows_discarded / routed_<sink>), and
+- a per-batch ledger table: one parquet dir per micro-batch
+  (``_ledger/batch_id=<id>/``), overwritten on replay so resume never
+  double-counts — the per-partition lineage record the north rule asks
+  for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class MetricsLedger:
+    CORE = ("rows_in", "rows_parsed", "rows_discarded")
+
+    def __init__(self, spark: SparkSession, routes: list[str], ledger_dir: str):
+        self.spark = spark
+        self.ledger_dir = ledger_dir
+        names = list(self.CORE) + [f"routed_{r}" for r in routes]
+        seed = self._recover()
+        self.acc = {
+            n: spark.sparkContext.accumulator(seed.get(n, 0)) for n in names
+        }
+        for n, v in seed.items():  # metrics beyond the configured set
+            if n not in self.acc:
+                self.acc[n] = spark.sparkContext.accumulator(v)
+
+    def _recover(self) -> dict[str, int]:
+        """Resume lineage: seed cumulative counters from the last committed
+        batch of an existing ledger (checkpoint-restart continuity)."""
+        if not os.path.isdir(self.ledger_dir):
+            return {}
+        led = read_ledger(self.spark, self.ledger_dir)
+        w = Window.partitionBy("metric").orderBy(F.col("batch_id").desc())
+        last = led.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+        return {r["metric"]: int(r["cumulative"]) for r in last.collect()}
+
+    def record_batch(self, batch_id: int, counts: dict[str, int]) -> None:
+        """Fold batch counts into the accumulators and append the batch's
+        ledger partition (idempotent: overwrite by batch_id)."""
+        for name, v in counts.items():
+            if name not in self.acc:
+                self.acc[name] = self.spark.sparkContext.accumulator(0)
+            self.acc[name].add(int(v))
+        rows = [
+            (int(batch_id), name, int(counts.get(name, 0)), int(self.acc[name].value))
+            for name in sorted(self.acc)
+        ]
+        df = self.spark.createDataFrame(
+            rows, "batch_id long, metric string, batch_value long, cumulative long"
+        )
+        path = os.path.join(self.ledger_dir, f"batch_id={batch_id}")
+        df.coalesce(1).drop("batch_id").write.mode("overwrite").parquet(path)
+
+    def snapshot(self) -> dict[str, int]:
+        return {n: a.value for n, a in self.acc.items()}
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return spark.read.option("basePath", ledger_dir).parquet(ledger_dir)

@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, stub
+decode determinism, and the explicit NotImplementedError seam where a
+real codec plugs in."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    attach_payload,
+    decode_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).cache()
+
+
+def test_payload_is_binary_with_metadata(spark, docs):
+    media = attach_payload(docs)
+    types = dict(media.dtypes)
+    assert types["payload"] == "binary"
+    assert types["n_bytes"] == "int"
+    row = media.orderBy("doc_id").first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["n_bytes"] == len(row["payload"])
+
+
+def test_decode_stub_deterministic_features(spark, docs):
+    media = attach_payload(docs)
+    feats = decode_features(media, n_features=4)
+    assert feats.schema == FEATURE_SCHEMA
+    a = {r["doc_id"]: r["feature"] for r in feats.collect()}
+    b = {r["doc_id"]: r["feature"] for r in decode_features(media, n_features=4).collect()}
+    assert a == b  # deterministic across runs
+    assert all(len(v) == 4 for v in a.values())
+    # fake features derive from payload bytes: first byte of text
+    one = docs.orderBy("doc_id").first()
+    assert a[one["doc_id"]][0] == float(one["text"].encode()[0])
+
+
+def test_decode_raise_stub_marks_codec_seam(spark, docs):
+    media = attach_payload(docs)
+    with pytest.raises(Exception) as exc_info:
+        decode_features(media, decode_stub="raise").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_empty_payload_safe(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = decode_features(attach_payload(df)).collect()
+    assert out[0]["feature"] == [0.0, 0.0, 0.0, 0.0]
