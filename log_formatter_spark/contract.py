@@ -184,6 +184,9 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 
 def queries() -> dict[str, QueryFn]:
     return {
+        # the input view itself: per-turn text equality is the north-rule
+        # row invariant, checked here as a driver-hashed query
+        "transcripts_view": lambda s, d: transcripts_from_events(s, d),
         # core pipeline (SURVEY.md §2)
         "pipeline_counts": _pipeline_counts("arrow"),
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
@@ -203,6 +206,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
+            _docs(s, d), n=3
+        ),
         "dedup_minhash": lambda s, d: dedup.minhash_pairs(_docs(s, d), n=3),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(
@@ -219,11 +225,17 @@ def queries() -> dict[str, QueryFn]:
         "similarity_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d), k=10),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+        # rows-only (no SQL oracle): Arrow-batched decode through
+        # mapInPandas — the driver records the weaker rows/schema check
+        "multimodal_decode": lambda s, d: multimodal.decode_features(
+            multimodal.attach_payload(_docs(s, d))
+        ),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "transcripts_view": TRANSCRIPTS_SQL,
         "pipeline_counts": _PIPELINE_COUNTS_SQL,
         "pipeline_counts_jvm": _PIPELINE_COUNTS_SQL,
         "parse_extract": TRANSCRIPT_CTES
@@ -251,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_sql(),
         "doc_fingerprint": sh.fingerprint_sql(n=5),
         "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),

@@ -167,6 +167,22 @@ def minhash_pairs(
     return out.where(F.col("est_jaccard") >= min_est)
 
 
+def _salted_min_sql() -> str:
+    def _salted(i: int) -> str:
+        return MD5_60_SQL.format(x=f"('{i}|' || shingle)")
+
+    return ",\n       ".join(f"min({_salted(i)}) AS mh{i}" for i in range(N_PERM))
+
+
+def minhash_signatures_sql(
+    src: str = "documents", n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+WITH sh AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)})
+SELECT {id_col}, {_salted_min_sql()} FROM sh GROUP BY {id_col}
+"""
+
+
 def minhash_pairs_sql(
     src: str = "documents",
     n: int = 3,
@@ -174,10 +190,7 @@ def minhash_pairs_sql(
     id_col: str = "doc_id",
     min_est: float = 0.0,
 ) -> str:
-    def _salted(i: int) -> str:
-        return MD5_60_SQL.format(x=f"('{i}|' || shingle)")
-
-    mins = ",\n       ".join(f"min({_salted(i)}) AS mh{i}" for i in range(N_PERM))
+    mins = _salted_min_sql()
     band_sel = "\nUNION ALL\n".join(
         f"SELECT {id_col}, {b} AS band, md5("
         + " || ',' || ".join(
