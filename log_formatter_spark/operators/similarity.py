@@ -13,8 +13,10 @@
                      ranking runs per bucket. Recall < 1 by design —
                      the exact baseline above is the correctness anchor.
 
-Window ranking ties are broken by neighbor id, so results are total-order
-deterministic at any parallelism.
+All cosine math runs on unit-normalized vectors (functions.vectors
+.with_unit): the norm fold happens once per vector, so every pair costs
+exactly one dot fold. Window ranking ties break by neighbor id —
+total-order deterministic at any parallelism.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from log_formatter_spark.functions.vectors import cosine, cosine_sql, dot, dot_sql
+from log_formatter_spark.functions.vectors import dot, dot_sql, unit_cte_sql, with_unit
 
 N_ANCHORS = 8
 
@@ -35,12 +37,13 @@ def brute_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for queries = the ``n_queries`` lowest ids."""
-    q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    u = with_unit(emb, id_col, vec_col)
+    q = u.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("uv").alias("qu")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = u.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cu"))
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id")).select(
-        "q_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "q_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -57,11 +60,12 @@ def brute_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    cos = cosine_sql(f"q.{vec_col}", f"c.{vec_col}")
+    cos = dot_sql("q.uv", "c.uv")
     return f"""
-WITH pairs AS (
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+pairs AS (
   SELECT q.{id_col} AS q_id, c.{id_col} AS neighbor_id, {cos} AS cos
-  FROM {src} q, {src} c
+  FROM u q, u c
   WHERE q.{id_col} < {n_queries} AND q.{id_col} <> c.{id_col}
 )
 SELECT q_id, neighbor_id, rank, cos FROM (
@@ -72,27 +76,22 @@ SELECT q_id, neighbor_id, rank, cos FROM (
 
 
 def bucketed(
-    emb: DataFrame,
-    n_anchors: int = N_ANCHORS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    u: DataFrame, n_anchors: int = N_ANCHORS, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Assign each vector a sign-LSH bucket (bit i = dot with anchor i ≥ 0).
-
-    Anchors (the ``n_anchors`` lowest-id vectors) are broadcast; bucket
-    assignment is a map-only pass over the corpus.
-    """
-    anchors = emb.where(F.col(id_col) < n_anchors).select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")
+    """Assign each unit vector a sign-LSH bucket (bit i = dot with
+    anchor i ≥ 0). Anchors (lowest-id vectors) are broadcast; bucket
+    assignment is a map-only pass over the corpus."""
+    anchors = u.where(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("a_id"), F.col("uv").alias("au")
     )
-    bits = emb.crossJoin(F.broadcast(anchors)).select(
+    bits = u.crossJoin(F.broadcast(anchors)).select(
         F.col(id_col),
-        F.col(vec_col),
-        F.when(dot(F.col(vec_col), F.col("av")) >= 0, F.expr("shiftleft(1L, a_id)"))
+        F.col("uv"),
+        F.when(dot(F.col("uv"), F.col("au")) >= 0, F.expr("shiftleft(1L, a_id)"))
         .otherwise(F.lit(0).cast("long"))
         .alias("bit"),
     )
-    return bits.groupBy(id_col, vec_col).agg(F.sum("bit").cast("long").alias("bucket"))
+    return bits.groupBy(id_col, "uv").agg(F.sum("bit").cast("long").alias("bucket"))
 
 
 def lsh_topk(
@@ -104,19 +103,18 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: rank only candidates in the query's bucket."""
-    b = bucketed(emb, n_anchors=n_anchors, id_col=id_col, vec_col=vec_col)
+    u = with_unit(emb, id_col, vec_col).persist()
+    b = bucketed(u, n_anchors=n_anchors, id_col=id_col)
     q = b.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("q_id"), F.col("uv").alias("qu"), "bucket"
     )
-    c = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
+    c = b.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cu"), "bucket")
     pairs = c.join(F.broadcast(q), on="bucket").where(
         F.col("q_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        pairs.select("q_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cos")
@@ -131,18 +129,19 @@ def lsh_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    d = dot_sql(f"v.{vec_col}", f"a.{vec_col}")
-    cos = cosine_sql("q.qv", "c.cv")
+    d = dot_sql("v.uv", "a.uv")
+    cos = dot_sql("q.qu", "c.cu")
     return f"""
-WITH bucketed AS (
-  SELECT v.{id_col}, v.{vec_col},
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+bucketed AS (
+  SELECT v.{id_col}, v.uv,
          CAST(sum(CASE WHEN {d} >= 0 THEN (1::BIGINT << a.{id_col}) ELSE 0 END) AS BIGINT) AS bucket
-  FROM {src} v, {src} a
+  FROM u v, u a
   WHERE a.{id_col} < {n_anchors}
-  GROUP BY v.{id_col}, v.{vec_col}
+  GROUP BY v.{id_col}, v.uv
 ),
-q AS (SELECT {id_col} AS q_id, {vec_col} AS qv, bucket FROM bucketed WHERE {id_col} < {n_queries}),
-c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv, bucket FROM bucketed),
+q AS (SELECT {id_col} AS q_id, uv AS qu, bucket FROM bucketed WHERE {id_col} < {n_queries}),
+c AS (SELECT {id_col} AS neighbor_id, uv AS cu, bucket FROM bucketed),
 pairs AS (
   SELECT q.q_id, c.neighbor_id, {cos} AS cos
   FROM c JOIN q ON c.bucket = q.bucket AND q.q_id <> c.neighbor_id
