@@ -155,6 +155,28 @@ def _labels_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stamped.groupBy("env", "pipeline_name").agg(F.count(F.lit(1)).alias("n"))
 
 
+_LABEL_RX = r"hello (?P<second_word>\w+)"
+
+
+def _parse_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level label extraction (reference parser.go:79-97): a second
+    regex runs over the extracted ``body`` component; label failure is a
+    null, never a discard."""
+    from log_formatter_spark.operators.parser import LabelRule
+
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_parser(
+        t,
+        ParserConfig(
+            TRANSCRIPT_PATTERN,
+            "text",
+            labels=(LabelRule("body", (_LABEL_RX,)),),
+            engine="arrow",
+        ),
+    )
+    return parsed.select("conv_id", "turn_idx", "body", "second_word")
+
+
 def _sink_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     parsed = apply_parser(t, ParserConfig(TRANSCRIPT_PATTERN, "text", engine="arrow"))
@@ -191,6 +213,7 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_counts": _pipeline_counts("arrow"),
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
         "parse_extract": _parse_extract,
+        "parse_labels": _parse_labels,
         "enrich_join": _enrich_join,
         "route_split": _route_split,
         "window_ordering": _window_ordering,
@@ -240,6 +263,11 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_counts_jvm": _PIPELINE_COUNTS_SQL,
         "parse_extract": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, parse_ok, ts_str, level, tool_tag, body FROM parsed",
+        "parse_labels": TRANSCRIPT_CTES
+        + f"""SELECT conv_id, turn_idx, body,
+           CASE WHEN body IS NOT NULL AND regexp_matches(body, 'hello (\\w+)')
+                THEN regexp_extract(body, 'hello (\\w+)', 1) END AS second_word
+       FROM parsed""",
         "enrich_join": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, role, tool, role_class, priority, tool_kind,"
         " is_sideeffect FROM enriched",

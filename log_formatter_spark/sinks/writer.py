@@ -32,7 +32,16 @@ def sink_path(base_dir: str, route: str) -> str:
     return os.path.join(base_dir, f"{ROUTE}={route}")
 
 
-def write_routed(df: DataFrame, base_dir: str, mode: str = "overwrite") -> None:
+# Table-format seam: the north-star target is per-sink Iceberg tables;
+# no Iceberg runtime jar ships in this sandbox, so parquet (same layout,
+# same partitioning) is the default and "iceberg" switches the whole
+# sink layer over when the jar + catalog are configured on the cluster.
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def write_routed(
+    df: DataFrame, base_dir: str, mode: str = "overwrite", fmt: str | None = None
+) -> None:
     """Single-pass fan-out: partition the write by the route column.
 
     At 10^12 rows this is strictly better than N filtered writes (one
@@ -43,13 +52,23 @@ def write_routed(df: DataFrame, base_dir: str, mode: str = "overwrite") -> None:
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(ROUTE)
-        .parquet(base_dir)
+        .format(fmt or TABLE_FORMAT)
+        .save(base_dir)
     )
 
 
-def read_sink(spark: SparkSession, base_dir: str, route: str | None = None) -> DataFrame:
+def read_sink(
+    spark: SparkSession,
+    base_dir: str,
+    route: str | None = None,
+    fmt: str | None = None,
+) -> DataFrame:
     """Read one sink (partition-pruned) or the whole routed table."""
-    df = spark.read.option("basePath", base_dir).parquet(base_dir)
+    df = (
+        spark.read.option("basePath", base_dir)
+        .format(fmt or TABLE_FORMAT)
+        .load(base_dir)
+    )
     if route is not None:
         df = df.where(df[ROUTE] == route)
     return df
