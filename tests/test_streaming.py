@@ -48,9 +48,19 @@ def test_streaming_equals_batch_and_resumes(spark, sf_dir, tmp_path):
     n_batches_1 = read_ledger(spark, out + "/ledger").select("batch_id").distinct().count()
     assert n_batches_1 >= 2  # maxFilesPerTrigger=1 over 2 files
 
-    # stage 2: new data arrives; resume from the same checkpoint
+    # stage 2: new data arrives; resume from the same checkpoint WITH A
+    # SWAPPED PLAN CONFIG (arrow -> jvm parse engine) — the rebuild of the
+    # reference's hot-reconfig (build new pipeline, swap, continue;
+    # agent/pipeline/pipeline.go:125-136): config change = relaunch from
+    # checkpoint, results must stay exactly consistent
+    from log_formatter_spark.pipeline import PipelineOptions
+
     second.repartition(1).write.mode("append").parquet(src)
-    run_streaming_pipeline(spark, src, out, ckpt, max_files_per_trigger=1)
+    run_streaming_pipeline(
+        spark, src, out, ckpt,
+        opts=PipelineOptions(engine="jvm"),
+        max_files_per_trigger=1,
+    )
 
     # routed rows == batch pipeline over everything, no dupes
     got = read_routed_stream_output(spark, out)
