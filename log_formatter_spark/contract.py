@@ -152,6 +152,24 @@ def _filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_filter(t, include_fields=["^conv", "^turn", "^role$"])
 
 
+def _filter_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclude-mode projection — implemented properly here; the reference
+    parses exclude_fields but never applies them (filter.go:58-69,
+    documented divergence)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return apply_filter(t, exclude_fields=["^text$", "^ts$"])
+
+
+def _parse_error_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """error_tolerant=true (parser.go:50-56): failed rows are kept with
+    null fields and never flagged for discard."""
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_parser(
+        t, ParserConfig(TRANSCRIPT_PATTERN, "text", error_tolerant=True, engine="arrow")
+    )
+    return parsed.select("conv_id", "turn_idx", "parse_ok", "level")
+
+
 def _labels_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     stamped = stamp_labels(t, {"env": "prod", "pipeline_name": "lfs"})
@@ -222,6 +240,8 @@ def queries() -> dict[str, QueryFn]:
         "window_ordering": _window_ordering,
         "skew_salted_agg": _skew_salted_agg,
         "filter_project": _filter_project,
+        "filter_exclude": _filter_exclude,
+        "parse_error_tolerant": _parse_error_tolerant,
         "labels_stamp": _labels_stamp,
         "sink_template_route": _sink_template,
         "events_hourly": _events_hourly,
@@ -283,6 +303,10 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id",
         "filter_project": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, role FROM transcripts",
+        "filter_exclude": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, role, tool FROM transcripts",
+        "parse_error_tolerant": TRANSCRIPT_CTES
+        + "SELECT conv_id, turn_idx, TRUE AS parse_ok, level FROM parsed",
         "labels_stamp": TRANSCRIPT_CTES
         + "SELECT 'prod' AS env, 'lfs' AS pipeline_name, count(*) AS n FROM transcripts",
         "sink_template_route": TRANSCRIPT_CTES
