@@ -32,7 +32,7 @@ from log_formatter_spark.lookups import (
     role_lookup,
     tool_lookup,
 )
-from log_formatter_spark.operators import dedup, similarity
+from log_formatter_spark.operators import corpus, dedup, similarity
 from log_formatter_spark.operators.filter import apply_filter
 from log_formatter_spark.operators.labels import stamp_labels
 from log_formatter_spark.operators.ordering import with_turn_order
@@ -266,6 +266,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
             _emb(s, d), min_cos=EMBED_MIN_COS
         ),
+        # composite corpus cleaning (quality + dedup + lang + token bounds)
+        "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
         "similarity_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d), k=10),
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
             n=3, min_jaccard=NGRAM_MIN_JACCARD
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
+        "corpus_filter": corpus.corpus_filter_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "multimodal_meta": multimodal.media_metadata_sql(),
