@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_simhash",
     "doc_fingerprint",
     "text_stats",
+    "corpus_filter",
     "similarity_topk",
     "similarity_lsh",
     "dedup_embedding",
