@@ -32,7 +32,7 @@ from log_formatter_spark.lookups import (
     role_lookup,
     tool_lookup,
 )
-from log_formatter_spark.operators import corpus, dedup, similarity
+from log_formatter_spark.operators import corpus, dedup, sessions, similarity
 from log_formatter_spark.operators.filter import apply_filter
 from log_formatter_spark.operators.labels import stamp_labels
 from log_formatter_spark.operators.ordering import with_turn_order
@@ -245,6 +245,9 @@ def queries() -> dict[str, QueryFn]:
         "labels_stamp": _labels_stamp,
         "sink_template_route": _sink_template,
         "events_hourly": _events_hourly,
+        "conversation_sessions": lambda s, d: sessions.conversation_sessions(
+            transcripts_from_events(s, d)
+        ),
         # text analysis
         "text_stats": lambda s, d: T.text_stats(_docs(s, d)),
         "token_count": lambda s, d: T.token_count(_docs(s, d)),
@@ -315,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT 'logs-' || coalesce(level, '') || '-' || coalesce(role, '') AS route,"
         " count(*) AS n FROM parsed GROUP BY 1",
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "conversation_sessions": TRANSCRIPT_CTES
+        + sessions.conversation_sessions_sql("transcripts"),
         "text_stats": T.text_stats_sql(),
         "token_count": T.token_count_sql(),
         "lang_id": T.lang_id_sql(),
