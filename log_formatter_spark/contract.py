@@ -222,6 +222,39 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def _distinct_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-aggregation machinery (expand + two-phase agg)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    standard reproducible-split primitive for training corpora (pure
+    function of doc_id: stable across reruns, cluster sizes, engines)."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.cast("int").alias("bucket"), split.alias("split"))
+
+
+from log_formatter_spark.functions.hashing import MD5_60_SQL as _H60
+
+_DATASET_SPLIT_SQL = f"""
+SELECT doc_id, CAST(b AS INTEGER) AS bucket,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, {_H60.format(x="(CAST(doc_id AS VARCHAR) || ':split')")} % 100 AS b
+      FROM documents)
+"""
+
+
 # --- catalog --------------------------------------------------------------
 
 
@@ -248,6 +281,8 @@ def queries() -> dict[str, QueryFn]:
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
             transcripts_from_events(s, d)
         ),
+        "distinct_convs_hourly": _distinct_convs_hourly,
+        "dataset_split": _dataset_split,
         # text analysis
         "text_stats": lambda s, d: T.text_stats(_docs(s, d)),
         "token_count": lambda s, d: T.token_count(_docs(s, d)),
@@ -320,6 +355,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "conversation_sessions": TRANSCRIPT_CTES
         + sessions.conversation_sessions_sql("transcripts"),
+        "distinct_convs_hourly": TRANSCRIPT_CTES
+        + "SELECT date_trunc('hour', ts) AS hour, count(DISTINCT conv_id) AS n_convs,"
+        " count(*) AS n_turns FROM transcripts GROUP BY date_trunc('hour', ts)",
+        "dataset_split": _DATASET_SPLIT_SQL,
         "text_stats": T.text_stats_sql(),
         "token_count": T.token_count_sql(),
         "lang_id": T.lang_id_sql(),
