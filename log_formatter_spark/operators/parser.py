@@ -27,11 +27,18 @@ Reference semantics being reproduced (all citations into /root/reference):
 
 Engineering: the reference recompiles the regex per document
 (util/regexp.go:9, acknowledged TODO parser.go:39). Here the pattern is
-compiled once per executor Python worker (closure capture in the pandas
-UDF) and the extraction is Arrow-vectorized over record batches — no
-per-row Python, per the north rule. A pure-JVM engine (``engine="jvm"``)
-compiles to ``regexp_extract``/``rlike`` expressions inside whole-stage
-codegen for patterns that don't need Python ``re`` features.
+compiled once and the extraction is Arrow-vectorized over record
+batches — no per-row Python, per the north rule. Three physical
+engines, identical semantics:
+
+- ``engine="arrow"`` + RE2-compatible pattern → Spark 4 ``arrow_udf``
+  running ``pyarrow.compute.extract_regex`` (C++ RE2 on the Arrow
+  buffers, zero pandas; RE2 is Go's regexp engine, so this is also the
+  parity path);
+- ``engine="arrow"`` + non-RE2 pattern (backrefs/lookaround) → pandas
+  UDF ``str.extract`` fallback;
+- ``engine="jvm"`` → ``rlike``/``regexp_extract`` expressions inside
+  whole-stage codegen (plan-time pruning of unused groups).
 """
 
 from __future__ import annotations
