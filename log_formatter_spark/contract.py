@@ -311,9 +311,9 @@ def queries() -> dict[str, QueryFn]:
         "similarity_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d), k=10),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
-        # rows-only (no SQL oracle): Arrow-batched decode through
-        # mapInPandas — the driver records the weaker rows/schema check
-        "multimodal_decode": lambda s, d: multimodal.decode_features(
+        # Arrow-batched decode through mapInPandas, exploded to scalar
+        # rows so the driver's canonicalizer can hash it (round-1 fix)
+        "multimodal_decode": lambda s, d: multimodal.decode_features_exploded(
             multimodal.attach_payload(_docs(s, d))
         ),
     }
@@ -376,4 +376,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "multimodal_meta": multimodal.media_metadata_sql(),
+        "multimodal_decode": multimodal.decode_features_sql(),
     }

@@ -77,9 +77,17 @@ def decode_features(
                     "media decode requires an image/audio codec library "
                     "(PIL/torchaudio/ffmpeg) not present in this environment"
                 )
+            # Deterministic fake decode: feature i = code point of the
+            # (i mod len)-th character of the UTF-8-decoded payload. For
+            # ASCII payloads this equals the raw byte value; the
+            # char-based definition keeps an exact DuckDB rendering
+            # (decode_features_sql) for the driver's value-hash oracle.
             feats = [
-                [float(b[i % max(len(b), 1)]) if len(b) else 0.0 for i in range(n_features)]
-                for b in pdf["payload"]
+                [
+                    float(ord(s[i % len(s)])) if s else 0.0
+                    for i in range(n_features)
+                ]
+                for s in (b.decode("utf-8") for b in pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
@@ -91,6 +99,52 @@ def decode_features(
             )
 
     return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def decode_features_exploded(
+    media: DataFrame, n_features: int = 4, decode_stub: str = "fake"
+) -> DataFrame:
+    """Driver-contract shape of :func:`decode_features`: the list-valued
+    ``feature`` column exploded to scalar ``(feature_idx, feature_value)``
+    rows so the result is hashable by the driver's pandas canonicalizer
+    (a list column is not). ``feature_value`` is cast to double so the
+    schema matches the DuckDB oracle exactly (code points < 2^24 are
+    exact in float32, so the float→double cast is lossless)."""
+    feats = decode_features(media, n_features=n_features, decode_stub=decode_stub)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("feature"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.col("pos").alias("feature_idx"),
+        F.col("col").cast("double").alias("feature_value"),
+    )
+
+
+def decode_features_sql(
+    src: str = "documents",
+    n_features: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of the fake decode (exploded contract shape).
+
+    Payloads are UTF-8 text bytes, so ``n_bytes = strlen`` and feature i
+    is the code point at character position ``i mod char-length``."""
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS doc_id,
+       'image/fake' AS media_type,
+       CAST(strlen({text_col}) AS INTEGER) AS n_bytes,
+       CAST(i AS INTEGER) AS feature_idx,
+       CAST(CAST(CASE WHEN length({text_col}) = 0 THEN 0.0
+                      ELSE unicode(substr({text_col}, 1 + (i % length({text_col})), 1))
+                 END AS FLOAT) AS DOUBLE) AS feature_value
+FROM {src}, range(0, {n_features}) r(i)
+"""
 
 
 def media_metadata(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -88,19 +88,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     )
 
 
-ROWS_ONLY = {"multimodal_decode"}
+# every contract query now carries a full SQL oracle (round 2: the
+# formerly rows-only multimodal_decode was made hashable + oracled)
+ROWS_ONLY: set[str] = set()
 
 
 def test_oracle_coverage():
     qs, os_ = set(contract.queries()), set(contract.oracle_sql())
     assert os_ <= qs, f"oracles without queries: {os_ - qs}"
     assert qs - os_ == ROWS_ONLY, f"unexpected rows-only queries: {qs - os_ - ROWS_ONLY}"
-
-
-def test_rows_only_queries_run(spark, sf_dir):
-    for name in ROWS_ONLY:
-        df = contract.queries()[name](spark, sf_dir)
-        assert df.count() > 0
 
 
 def test_entry_runs(spark):
