@@ -295,7 +295,10 @@ def queries() -> dict[str, QueryFn]:
         ),
         "dedup_minhash": lambda s, d: dedup.minhash_pairs(_docs(s, d), n=3),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
-        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(
+        # blocked (pigeonhole-segment) plan; the oracle below is the
+        # all-pairs SQL, so the driver's hash check doubles as the proof
+        # that blocked == all-pairs
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs_blocked(
             _docs(s, d), max_hamming=SIMHASH_MAX_HAMMING
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(

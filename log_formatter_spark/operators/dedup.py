@@ -264,13 +264,13 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance — all-pairs baseline.
 
     All-pairs on the compact (id, simhash) sketch — fine up to ~10^5
-    docs per block; at full scale, block first by simhash prefix
-    (shiftright(simhash, 48)) so only same-prefix pairs compare, the
-    standard Charikar trick. Prefix blocking is exposed via
-    ``prefix_bits`` in simhash_pairs_blocked below.
+    docs per block, O(n²) beyond. The scale path is
+    :func:`simhash_pairs_blocked`, which returns EXACTLY the same pairs
+    via segment blocking; this form exists as its correctness anchor
+    (tests/test_dedup_blocked.py proves equality).
     """
     s = simhash(df, text_col=text_col, id_col=id_col)
     a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
@@ -280,6 +280,67 @@ def simhash_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _segment_bounds(total_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start, width) per block, covering total_bits with near-equal widths."""
+    base, rem = divmod(total_bits, n_blocks)
+    bounds, start = [], 0
+    for b in range(n_blocks):
+        width = base + (1 if b < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def simhash_pairs_blocked(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the 100 TB plan.
+
+    Charikar/pigeonhole blocking: split the 60-bit sketch into
+    ``n_blocks = max_hamming + 1`` bit segments. Two sketches within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    segments, so they agree EXACTLY on at least one segment — candidate
+    pairs formed by equality self-join on (block_id, segment_value)
+    provably cover every qualifying pair. Result is therefore identical
+    to :func:`simhash_pairs` (the driver oracles this query against the
+    all-pairs SQL), but pair formation is an equality join on ~2^12-way
+    segment buckets instead of an O(n²) cross product: cost is the sum
+    of squared bucket sizes per block, and the sketch table itself is
+    just (id, long).
+    """
+    nb = n_blocks or (max_hamming + 1)
+    s = simhash(df, text_col=text_col, id_col=id_col)
+    segs = [
+        F.expr(f"(simhash >> {start}) & {(1 << width) - 1}").alias(f"seg{b}")
+        for b, (start, width) in enumerate(_segment_bounds(SIMHASH_BITS, nb))
+    ]
+    blocks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(b).alias("block"), seg.alias("seg")) for b, seg in enumerate(segs)]
+            )
+        ).alias("bs"),
+    ).select(id_col, "simhash", F.col("bs.block").alias("block"), F.col("bs.seg").alias("seg"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, on=["block", "seg"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
