@@ -34,12 +34,15 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "doc_fingerprint",
     "text_stats",
     "corpus_filter",
     "similarity_topk",
     "similarity_lsh",
-    "dedup_embedding",
+    # round 2: the all-pairs dedup_embedding crossJoin (12.7 s at sf0.1,
+    # O(n^2) at scale) is replaced by the banded-LSH bucket-join plan
+    "dedup_embedding_lsh",
 ]
 
 

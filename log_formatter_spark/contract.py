@@ -307,6 +307,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
             _emb(s, d), min_cos=EMBED_MIN_COS
         ),
+        # banded sign-LSH near-dup (the scale path; exact baseline above)
+        "dedup_embedding_lsh": lambda s, d: dedup.embedding_dup_pairs_lsh(
+            _emb(s, d), min_cos=EMBED_MIN_COS
+        ),
         # composite corpus cleaning (quality + dedup + lang + token bounds)
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
         # similarity search
@@ -375,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
             n=3, min_jaccard=NGRAM_MIN_JACCARD
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
+        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
         "corpus_filter": corpus.corpus_filter_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),

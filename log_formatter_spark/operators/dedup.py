@@ -126,10 +126,13 @@ def minhash_pairs(
     squared, not |docs|^2. est_jaccard = matching signature fraction.
     """
     # The signature table feeds three consumers (band explode + both
-    # sides of the est-jaccard join); persist it so the shingle scan +
-    # 16 min-aggs run once. At cluster scale this is a small (id, 16
-    # longs) table — MEMORY_AND_DISK is safe at any corpus size.
-    sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col).persist()
+    # sides of the est-jaccard join). It ends in a shuffle (groupBy id),
+    # so Spark's exchange-reuse rule computes the shingle scan + 16
+    # min-aggs ONCE and serves all three consumers from the same shuffle
+    # files (tests/test_dedup_blocked.py pins ReusedExchange in the
+    # plan) — no persist needed, nothing leaks into storage memory
+    # (round-1 fix: the old persist here was never released).
+    sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -433,8 +436,10 @@ def embedding_dup_pairs(
 
     Vectors are unit-normalized once up front, so the O(n²) inner loop
     is a single dot fold per pair (3× cheaper than recomputing norms
-    per pair). The unit table is persisted: both join sides read it."""
-    u = with_unit(emb, id_col, vec_col).persist()
+    per pair). No persist: the unit table is a map-only projection, so
+    each join side re-running the pruned scan is cheaper than leaking
+    cached blocks across a full contract run (round-1 fix)."""
+    u = with_unit(emb, id_col, vec_col)
     a = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
     b = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
     return (
@@ -443,6 +448,100 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", dot(F.col("ua"), F.col("ub")).alias("cos"))
         .where(F.col("cos") >= min_cos)
     )
+
+
+EMBED_LSH_BITS = 3
+EMBED_LSH_BANDS = 5
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    min_cos: float,
+    n_bits: int = EMBED_LSH_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed cosine near-dup pairs — the 100 TB path.
+
+    Banded sign-LSH: band j's bucket code is ``n_bits`` sign bits of
+    dots with anchor vectors (the lowest-id corpus vectors, embedded as
+    literals — assignment is a map-only projection, see
+    similarity.bucket_expr). Candidates form ONLY via equality self-join
+    on (band, bucket) — cost is the sum of squared bucket sizes per
+    band, never |corpus|²; each candidate is then exact-cosine verified.
+
+    Recall < 1 by design (ANN): a pair is found iff it shares a full
+    bucket code in ≥1 band. At the production near-dup regime
+    (cos ≥ 0.9, angle ≤ 26°) per-bit agreement is ~0.86 and a handful of
+    bands suffice; the defaults here are tuned for the driver testdata's
+    much weaker cos ≈ 0.4 demo threshold (~0.8 recall, measured in
+    tests/test_dedup_blocked.py against :func:`embedding_dup_pairs`,
+    which stays as the exact baseline). All found pairs carry exact
+    cosines — the approximation is only in coverage, never in values.
+    """
+    from log_formatter_spark.operators.similarity import anchor_units, bucket_expr
+
+    u = with_unit(emb, id_col, vec_col)
+    anchors = anchor_units(u, n_bits * n_bands, id_col=id_col)
+    band_structs = []
+    for j in range(n_bands):
+        band_anchors = [(a_id, au) for a_id, au in anchors if a_id // n_bits == j]
+        bucket = bucket_expr(band_anchors, {a_id: a_id % n_bits for a_id, _ in band_anchors})
+        band_structs.append(
+            F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
+        )
+    bands = u.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, on=["band", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ua = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
+    ub = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select("id_a", "id_b", dot(F.col("ua"), F.col("ub")).alias("cos"))
+        .where(F.col("cos") >= min_cos)
+    )
+
+
+def embedding_dup_pairs_lsh_sql(
+    src: str = "embeddings",
+    min_cos: float = 0.95,
+    n_bits: int = EMBED_LSH_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB rendering of the banded plan (same anchors, same bands),
+    so the driver's value-hash check covers the ANN path exactly."""
+    d = dot_sql("v.uv", "a.au")
+    cos = dot_sql("ua.uv", "ub.uv")
+    na = n_bits * n_bands
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+anchors AS (SELECT {id_col} AS a_id, uv AS au FROM u WHERE {id_col} < {na}),
+banded AS (
+  SELECT v.{id_col} AS id, CAST(a.a_id // {n_bits} AS INTEGER) AS band,
+         CAST(sum(CASE WHEN {d} >= 0 THEN (1::BIGINT << (a.a_id % {n_bits})) ELSE 0 END) AS BIGINT) AS bucket
+  FROM u v, anchors a GROUP BY v.{id_col}, a.a_id // {n_bits}
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.id < y.id
+)
+SELECT id_a, id_b, {cos} AS cos
+FROM cand JOIN u ua ON cand.id_a = ua.{id_col}
+          JOIN u ub ON cand.id_b = ub.{id_col}
+WHERE {cos} >= {min_cos}
+"""
 
 
 def embedding_dup_pairs_sql(

@@ -75,23 +75,48 @@ SELECT q_id, neighbor_id, rank, cos FROM (
 """
 
 
+def anchor_units(
+    u: DataFrame, n_anchors: int, id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """Collect the unit vectors of the ``n_anchors`` lowest ids.
+
+    Driver-sized by construction (n_anchors rows); the values are the
+    exact binary64 doubles Spark computed, so embedding them back as
+    literals reproduces DuckDB's dot-sign decisions bit-for-bit."""
+    rows = (
+        u.where(F.col(id_col) < n_anchors)
+        .select(id_col, "uv")
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[id_col]), list(r["uv"])) for r in rows]
+
+
+def bucket_expr(anchors: list[tuple[int, list[float]]], bit_of: dict[int, int]):
+    """Map-only sign-LSH bucket: bit ``bit_of[a_id]`` set iff
+    dot(uv, anchor a_id) ≥ 0. Anchors are embedded as array literals, so
+    the whole assignment is a codegen'd projection — no join, no
+    groupBy, no shuffle of the vector column (the round-1 version
+    grouped on the full ``uv`` array, shuffling every vector as a key)."""
+    acc = F.lit(0).cast("long")
+    for a_id, au in anchors:
+        acc = acc + F.when(
+            dot(F.col("uv"), F.lit(au)) >= 0,
+            F.lit(1 << bit_of[a_id]).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
 def bucketed(
     u: DataFrame, n_anchors: int = N_ANCHORS, id_col: str = "vec_id"
 ) -> DataFrame:
     """Assign each unit vector a sign-LSH bucket (bit i = dot with
-    anchor i ≥ 0). Anchors (lowest-id vectors) are broadcast; bucket
-    assignment is a map-only pass over the corpus."""
-    anchors = u.where(F.col(id_col) < n_anchors).select(
-        F.col(id_col).alias("a_id"), F.col("uv").alias("au")
-    )
-    bits = u.crossJoin(F.broadcast(anchors)).select(
-        F.col(id_col),
-        F.col("uv"),
-        F.when(dot(F.col("uv"), F.col("au")) >= 0, F.expr("shiftleft(1L, a_id)"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("bit"),
-    )
-    return bits.groupBy(id_col, "uv").agg(F.sum("bit").cast("long").alias("bucket"))
+    anchor i ≥ 0). Anchors (lowest-id vectors) are collected once
+    (driver-sized) and embedded as literals; bucket assignment is a
+    map-only projection over the corpus — zero shuffles."""
+    anchors = anchor_units(u, n_anchors, id_col=id_col)
+    bucket = bucket_expr(anchors, {a_id: a_id for a_id, _ in anchors})
+    return u.select(F.col(id_col), F.col("uv"), bucket.alias("bucket"))
 
 
 def lsh_topk(
@@ -102,8 +127,13 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: rank only candidates in the query's bucket."""
-    u = with_unit(emb, id_col, vec_col).persist()
+    """ANN top-k: rank only candidates in the query's bucket.
+
+    No persist: ``bucketed`` is now a map-only projection, so the two
+    consumers (query filter + corpus side) just re-run a cheap pruned
+    scan each — cheaper than tying up executor storage memory across a
+    34-query contract run (round-1 leak fix)."""
+    u = with_unit(emb, id_col, vec_col)
     b = bucketed(u, n_anchors=n_anchors, id_col=id_col)
     q = b.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col("uv").alias("qu"), "bucket"
