@@ -56,6 +56,27 @@ def _stop_hits_sql(toks: str, words: tuple[str, ...]) -> str:
 # --- text_stats -----------------------------------------------------------
 
 
+def tok_chars_expr(toks: Column) -> Column:
+    """Total characters across tokens (sequential int fold)."""
+    return F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+
+
+def quality_expr(n_tokens: Column, tok_chars: Column, n_stop: Column) -> Column:
+    """The rational-arithmetic quality score.
+
+    Shared by text_stats and the single-pass corpus_filter so both
+    produce bit-identical doubles (same ops, same order, same inputs)."""
+    avg_tok = tok_chars / n_tokens
+    stop_ratio = n_stop / n_tokens
+    len_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_tok - F.lit(5.0)) / F.lit(5.0))
+    size_term = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return (
+        F.lit(0.4) * size_term
+        + F.lit(0.3) * len_term
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats + a rational-arithmetic quality score.
 
@@ -68,9 +89,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.length(text_col).cast("int").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-        ).alias("_tok_chars"),
+        tok_chars_expr(toks).alias("_tok_chars"),
         _stop_hits(toks, STOPWORDS).alias("n_stop"),
         F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), F.lit(0))).alias(
             "_n_alpha"
@@ -79,13 +98,6 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     avg_tok = F.col("_tok_chars") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     alpha_ratio = F.col("_n_alpha") / F.col("n_chars")
-    len_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_tok - F.lit(5.0)) / F.lit(5.0))
-    size_term = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-    quality = (
-        F.lit(0.4) * size_term
-        + F.lit(0.3) * len_term
-        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
-    )
     return base.select(
         id_col,
         "n_chars",
@@ -94,7 +106,9 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         avg_tok.alias("avg_token_len"),
         stop_ratio.alias("stop_ratio"),
         alpha_ratio.alias("alpha_ratio"),
-        quality.alias("quality_score"),
+        quality_expr(F.col("n_tokens"), F.col("_tok_chars"), F.col("n_stop")).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -152,6 +166,25 @@ _LANG_ORDER = ("en", "fr", "de", "es")
 _MIN_SCORE = 0.05
 
 
+def lang_pred_expr(scores: dict[str, Column]) -> Column:
+    """Argmax over per-language scores with fixed tie order (earlier in
+    _LANG_ORDER wins ties); all below threshold → 'und'. Shared by
+    lang_id and the single-pass corpus_filter for bit-identical output."""
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        cond = scores[lang] >= F.lit(_MIN_SCORE)
+        for o in _LANG_ORDER:
+            if o == lang:
+                continue
+            # priority: an earlier lang wins ties, later must be strictly greater
+            if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[o])
+            else:
+                cond = cond & (scores[lang] >= scores[o])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language heuristic.
 
@@ -170,23 +203,9 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ],
     )
     scores = {lang: F.col(f"_h_{lang}") / F.col("_n") for lang in _LANG_ORDER}
-    # conditions are mutually exclusive (priority encoded via >/>=), so
-    # CASE order is irrelevant; tie-break: earlier lang in _LANG_ORDER wins
-    pred = F.lit("und")
-    for lang in reversed(_LANG_ORDER):
-        cond = scores[lang] >= F.lit(_MIN_SCORE)
-        for o in _LANG_ORDER:
-            if o == lang:
-                continue
-            # priority: an earlier lang wins ties, later must be strictly greater
-            if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang):
-                cond = cond & (scores[lang] > scores[o])
-            else:
-                cond = cond & (scores[lang] >= scores[o])
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return base.select(
         id_col,
-        pred.alias("lang_pred"),
+        lang_pred_expr(scores).alias("lang_pred"),
         *[scores[lang].alias(f"{lang}_score") for lang in _LANG_ORDER],
     )
 

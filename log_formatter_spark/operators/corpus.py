@@ -2,27 +2,37 @@
 use-case: combine quality scoring, exact dedup, language ID and token
 bounds into a per-document keep/drop decision with an audit reason.
 
-The plan is a join of four per-doc derivations on doc_id. All four are
-map-side-cheap over one shared scan at the storage layer (column
-pruning keeps only (doc_id, text)), and doc_id joins co-partition
-cleanly at any scale. The ``reason`` column is the first failing rule
-in a fixed order — deterministic and auditable.
+Single-pass plan (round-2 rewrite): quality, language and token-count
+columns are map-only projections of the same (doc_id, text) scan, so
+they are computed in ONE select alongside the dedup group key; the only
+shuffle is the dedup window over group_key, which already carries the
+finished per-doc columns — 1 scan, 1 exchange, 0 joins (pinned in
+tests/test_plans.py). The round-1 version computed four DataFrames and
+equality-joined them on doc_id: 4 scans + 3 shuffled joins, all of
+which carried the whole corpus at scale. The ``reason`` column is the
+first failing rule in a fixed order — deterministic and auditable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.text import (
-    lang_id,
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    STOPWORDS,
+    _LANG_ORDER,
+    _stop_hits,
     lang_id_sql,
-    text_stats,
+    lang_pred_expr,
+    quality_expr,
     text_stats_sql,
-    token_count,
     token_count_sql,
+    tok_chars_expr,
+    tokens,
 )
-from log_formatter_spark.operators.dedup import exact_dedup, exact_dedup_sql
+from log_formatter_spark.operators.dedup import exact_dedup_sql, norm_text_expr
 
 MIN_QUALITY = 0.5
 MIN_TOKENS = 20
@@ -30,13 +40,35 @@ MAX_TOKENS = 10_000
 KEEP_LANGS = ("en", "und")
 
 
-def corpus_filter(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def corpus_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, keep, reason, quality_score, lang_pred, n_bpe_tokens)."""
-    stats = text_stats(df).select(id_col, "quality_score")
-    dups = exact_dedup(df).select(id_col, "is_dup")
-    langs = lang_id(df).select(id_col, "lang_pred")
-    toks = token_count(df).select(id_col, "n_bpe_tokens")
-    j = stats.join(dups, id_col).join(langs, id_col).join(toks, id_col)
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tokens"),
+        tok_chars_expr(toks).alias("_tok_chars"),
+        _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        *[
+            _stop_hits(toks, LANG_STOPWORDS[lang]).alias(f"_h_{lang}")
+            for lang in _LANG_ORDER
+        ],
+        F.md5(norm_text_expr(text_col)).alias("_group_key"),
+    )
+    scores = {lang: F.col(f"_h_{lang}") / F.col("_n_tokens") for lang in _LANG_ORDER}
+    derived = base.select(
+        id_col,
+        "_group_key",
+        quality_expr(F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")).alias(
+            "quality_score"
+        ),
+        lang_pred_expr(scores).alias("lang_pred"),
+        "n_bpe_tokens",
+    )
+    w = Window.partitionBy("_group_key").orderBy(id_col)
+    j = derived.withColumn("is_dup", F.row_number().over(w) > F.lit(1))
     lang_ok = F.col("lang_pred").isin(*KEEP_LANGS)
     reason = (
         F.when(F.col("is_dup"), "duplicate")

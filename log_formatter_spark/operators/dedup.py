@@ -26,7 +26,7 @@ exact DuckDB oracle rendering (the *_sql builders).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.hashing import md5_60, MD5_60_SQL
@@ -39,18 +39,22 @@ from log_formatter_spark.functions.vectors import dot, dot_sql, unit_cte_sql, wi
 _NORM_RE = "[^a-z0-9 ]"
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact duplicate detection on normalized text.
-
-    Normalization: lowercase, strip non-alphanumerics, collapse runs of
-    spaces. Survivor = lowest id per group (deterministic).
-    """
-    norm = F.trim(
+def norm_text_expr(text_col: str) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics, collapse
+    runs of spaces. Shared with corpus_filter's single-pass plan."""
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), _NORM_RE, " "), " +", " "
         )
     )
-    keyed = df.select(F.col(id_col), F.md5(norm).alias("group_key"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate detection on normalized text.
+
+    Survivor = lowest id per group (deterministic).
+    """
+    keyed = df.select(F.col(id_col), F.md5(norm_text_expr(text_col)).alias("group_key"))
     w = Window.partitionBy("group_key").orderBy(id_col)
     return keyed.select(
         id_col,

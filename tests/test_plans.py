@@ -54,6 +54,18 @@ def test_text_stats_prunes_scan_columns(spark, sf_dir):
     assert "lang" not in scan[0] and "source" not in scan[0]
 
 
+def test_corpus_filter_is_single_pass(spark, sf_dir):
+    # quality/lang/token columns are map-only projections of one scan;
+    # the only shuffle is the dedup window — no joins anywhere
+    from log_formatter_spark.operators.corpus import corpus_filter
+
+    df = corpus_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_similarity_pushes_query_filter_to_scan(spark, sf_dir):
     df = brute_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
     plan = _plan(df)
