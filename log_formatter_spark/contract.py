@@ -54,6 +54,10 @@ from log_formatter_spark.transcripts import (
 # non-explosive result set (see tests/test_contract.py).
 SIMHASH_MAX_HAMMING = 4
 NGRAM_MIN_JACCARD = 0.05
+# skew guard: shingles in more docs than this are excluded before the
+# inverted-index self-join (at sf0.01's 500 docs nothing trips it; it is
+# exercised by the adversarial corpus in tests/test_dedup_blocked.py)
+NGRAM_MAX_DF = 200
 # production near-dup would sit at ~0.95; the driver's synthetic
 # embeddings top out at cos≈0.51 (random-ish cluster structure), so the
 # demo threshold is set where the result set is non-trivial
@@ -302,7 +306,7 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d), max_hamming=SIMHASH_MAX_HAMMING
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
-            _docs(s, d), n=3, min_jaccard=NGRAM_MIN_JACCARD
+            _docs(s, d), n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
         ),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
             _emb(s, d), min_cos=EMBED_MIN_COS
@@ -376,7 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
-            n=3, min_jaccard=NGRAM_MIN_JACCARD
+            n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),

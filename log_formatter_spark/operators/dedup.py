@@ -376,6 +376,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets, shared-shingle blocking.
 
@@ -383,8 +384,29 @@ def ngram_jaccard_pairs(
     only ever formed if it shares ≥1 shingle, so cost is linear in
     postings-list sizes. Intersection counts come from the join;
     union = |A| + |B| - inter.
+
+    ``max_doc_freq`` is the skew guard: one boilerplate shingle present
+    in k documents produces k² join rows, turning "linear in postings"
+    quadratic. With a cutoff, shingles whose document frequency exceeds
+    it are dropped BEFORE the self-join (the hot set is tiny by
+    construction, so the exclusion is a broadcast anti-join), and
+    Jaccard is computed over the retained shingle sets — both |A∩B| and
+    |A∪B| shrink consistently. Each dropped ubiquitous shingle shifts a
+    pair's Jaccard by at most 1/|A∪B|, negligible for real documents at
+    any cutoff ≫ typical postings size; what it buys is a hard k×cutoff
+    bound on join rows per shingle. Sized for 100 TB: cutoff ~10⁴ keeps
+    the worst shingle's contribution at 10⁸ candidate rows (one
+    executor-minute) instead of 10²⁴.
     """
     sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -412,9 +434,17 @@ def ngram_jaccard_pairs_sql(
     min_jaccard: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> str:
+    guard = (
+        f"""sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_doc_freq})),"""
+        if max_doc_freq is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
     return f"""
-WITH sh AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+WITH sh0 AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+{guard}
 sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
 inter AS (
   SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter

@@ -87,6 +87,33 @@ def test_no_leaked_caches_after_pair_queries(spark, sf_dir):
     assert not leaked, f"cached blocks leaked into storage memory: {leaked}"
 
 
+def test_ngram_guard_unchanged_below_cutoff(spark, docs):
+    # on the driver testdata no shingle exceeds the contract cutoff, so
+    # the guarded plan must return exactly the unguarded result
+    guarded = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.05, max_doc_freq=200)
+    plain = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.05)
+    assert _rows(guarded) == _rows(plain)
+
+
+def test_ngram_guard_bounds_hot_shingle_candidates(spark):
+    # adversarial corpus: every doc shares one boilerplate shingle
+    # ("click here now"), plus a unique tail. Unguarded, the hot shingle
+    # alone contributes k^2 join rows; guarded, it contributes zero.
+    k = 60
+    rows = [(i, f"click here now unique{i} tail{i} words{i} end{i}") for i in range(k)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    sh = shingle_df(docs, n=3)
+    hot_df = sh.groupBy("shingle").count().where(F.col("count") > 10)
+    assert hot_df.count() == 1  # exactly the boilerplate shingle is hot
+
+    guarded = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.01, max_doc_freq=10)
+    assert guarded.count() == 0  # no pair shares any non-stop shingle
+    unguarded = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.01)
+    assert unguarded.count() == k * (k - 1) // 2  # quadratic without the guard
+
+
 def test_segment_bounds_cover_all_bits():
     for total, nb in ((60, 5), (60, 3), (64, 7)):
         bounds = dedup._segment_bounds(total, nb)
