@@ -33,6 +33,7 @@ from log_formatter_spark.lookups import (
     tool_lookup,
 )
 from log_formatter_spark.operators import corpus, dedup, sessions, similarity
+from log_formatter_spark.sources import kafka_fixture
 from log_formatter_spark.operators.filter import apply_filter
 from log_formatter_spark.operators.labels import stamp_labels
 from log_formatter_spark.operators.ordering import with_turn_order
@@ -235,6 +236,41 @@ def _distinct_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KAFKA_CORRUPT_EVERY = 20
+
+
+def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka value-decode semantics (reference kafka.go:159-173) run
+    against broker-free kafka-shaped frames; every 20th turn carries a
+    malformed value to exercise the dead-letter divergence."""
+    from log_formatter_spark.sources.kafka_fixture import decode_kafka_value, kafka_frames
+
+    t = transcripts_from_events(spark, sf_dir)
+    frames = kafka_frames(t, "json", corrupt_every=KAFKA_CORRUPT_EVERY)
+    dec = decode_kafka_value(frames, "json")
+    return dec.select(
+        F.col("partition").alias("kpart"),
+        F.col("offset").alias("koffset"),
+        "conv_id", "turn_idx", "role", "text", "tool", "ts_str",
+        "decode_ok",
+    )
+
+
+def _kafka_decode_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw mode: any value bytes become {"message": value}
+    (reference kafka.go:169-172)."""
+    from log_formatter_spark.sources.kafka_fixture import decode_kafka_value, kafka_frames
+
+    t = transcripts_from_events(spark, sf_dir)
+    frames = kafka_frames(t, "raw")
+    dec = decode_kafka_value(frames, "raw")
+    return dec.select(
+        F.col("partition").alias("kpart"),
+        F.col("offset").alias("koffset"),
+        "message",
+    )
+
+
 def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hash bucket — the
     standard reproducible-split primitive for training corpora (pure
@@ -282,6 +318,8 @@ def queries() -> dict[str, QueryFn]:
         "labels_stamp": _labels_stamp,
         "sink_template_route": _sink_template,
         "events_hourly": _events_hourly,
+        "kafka_decode_json": _kafka_decode_json,
+        "kafka_decode_raw": _kafka_decode_raw,
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
             transcripts_from_events(s, d)
         ),
@@ -364,6 +402,9 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT 'logs-' || coalesce(level, '') || '-' || coalesce(role, '') AS route,"
         " count(*) AS n FROM parsed GROUP BY 1",
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "kafka_decode_json": TRANSCRIPT_CTES
+        + kafka_fixture.kafka_decode_json_sql(corrupt_every=KAFKA_CORRUPT_EVERY),
+        "kafka_decode_raw": TRANSCRIPT_CTES + kafka_fixture.kafka_decode_raw_sql(),
         "conversation_sessions": TRANSCRIPT_CTES
         + sessions.conversation_sessions_sql("transcripts"),
         "distinct_convs_hourly": TRANSCRIPT_CTES

@@ -68,6 +68,11 @@ def _kafka_source(spark: SparkSession, cfg: dict) -> DataFrame:
     {"message": raw}. The reference crashes on malformed JSON
     (kafka.go:163-166 Fatalf); we dead-letter instead: from_json yields
     null structs, kept as parse failures (documented divergence)."""
+    from log_formatter_spark.sources.kafka_fixture import (
+        KAFKA_JSON_SCHEMA,
+        decode_kafka_value,
+    )
+
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", ",".join(cfg["brokers"]))
@@ -76,10 +81,13 @@ def _kafka_source(spark: SparkSession, cfg: dict) -> DataFrame:
     if cfg.get("group_name"):
         reader = reader.option("kafka.group.id", cfg["group_name"])
     df = reader.load()
-    raw = F.col("value").cast("string")
-    if cfg.get("schema") == "json" and cfg.get("json_schema"):
-        return df.select(F.from_json(raw, cfg["json_schema"]).alias("doc")).select("doc.*")
-    return df.select(raw.alias("message"))
+    # decode is shared with the broker-free fixture path, where the
+    # driver oracle-checks it (sources/kafka_fixture.py)
+    if cfg.get("schema") == "json":
+        return decode_kafka_value(
+            df, "json", cfg.get("json_schema", KAFKA_JSON_SCHEMA)
+        )
+    return decode_kafka_value(df, "raw")
 
 
 def _events_transcripts(spark: SparkSession, cfg: dict) -> DataFrame:
