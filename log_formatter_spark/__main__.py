@@ -37,11 +37,32 @@ def main(argv: list[str] | None = None) -> int:
             if not (args.out and args.checkpoint):
                 ap.error("--streaming requires --out and --checkpoint")
             from log_formatter_spark.streaming import run_streaming_pipeline
+            from log_formatter_spark.streaming.job import TRANSCRIPT_SCHEMA
 
-            src = cfg["input"].get("path") or cfg["input"].get("sf_dir")
+            # streaming mode requires a transcript-parquet source: fail
+            # loudly on a config whose input is some other table shape
+            # (a schema-mismatched stream would silently read nulls)
+            inp = cfg.get("input", {})
+            target = inp.get("target", "stream_transcripts")
+            if target != "stream_transcripts":
+                ap.error(
+                    f"streaming mode requires input target stream_transcripts, got {target!r}"
+                )
+            src = inp.get("path") or inp.get("sf_dir")
+            if not src:
+                ap.error("streaming input needs a path (transcript parquet dir)")
+            actual = spark.read.parquet(src).schema
+            missing = set(f.name for f in TRANSCRIPT_SCHEMA) - set(
+                f.name for f in actual
+            )
+            if missing:
+                ap.error(
+                    f"streaming source {src} is not transcript-shaped: "
+                    f"missing columns {sorted(missing)}"
+                )
             ledger = run_streaming_pipeline(
                 spark, src, args.out, args.checkpoint,
-                max_files_per_trigger=cfg["input"].get("max_files_per_trigger"),
+                max_files_per_trigger=inp.get("max_files_per_trigger"),
             )
             print(ledger.snapshot())
         else:

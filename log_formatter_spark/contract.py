@@ -87,7 +87,7 @@ TRANSCRIPT_CTES = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL}),
 parsed AS (
   SELECT t.*,
-         regexp_matches(text, '{_P}') AS parse_ok,
+         coalesce(regexp_matches(text, '{_P}'), FALSE) AS parse_ok,
          {_EXTRACT}
   FROM transcripts t
 ),

@@ -181,7 +181,11 @@ def _jvm_extract_cols(pattern: str, target: str, with_flag: bool) -> dict[str, C
     """
     compiled = re.compile(pattern)
     jpat = _to_java_regex(pattern)
-    ok = F.col(target).rlike(jpat)
+    # NULL input text: rlike(NULL) is NULL, but the arrow/pandas engines
+    # report parse_ok=false for missing text — coalesce so all three
+    # engines (and the DuckDB oracle) agree that null text is a parse
+    # failure, not an unknown
+    ok = F.coalesce(F.col(target).rlike(jpat), F.lit(False))
     cols: dict[str, Column] = {}
     for name, idx in compiled.groupindex.items():
         if name.endswith("_"):

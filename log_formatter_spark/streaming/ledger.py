@@ -46,9 +46,31 @@ class MetricsLedger:
         last = led.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
         return {r["metric"]: int(r["cumulative"]) for r in last.collect()}
 
+    def _read_batch_values(self, batch_id: int) -> dict[str, int]:
+        """Previously recorded batch_values for one batch (empty if the
+        batch has no ledger partition yet)."""
+        path = os.path.join(self.ledger_dir, f"batch_id={batch_id}")
+        if not os.path.isdir(path):
+            return {}
+        df = self.spark.read.parquet(path)
+        return {r["metric"]: int(r["batch_value"]) for r in df.collect()}
+
     def record_batch(self, batch_id: int, counts: dict[str, int]) -> None:
         """Fold batch counts into the accumulators and append the batch's
-        ledger partition (idempotent: overwrite by batch_id)."""
+        ledger partition (idempotent: overwrite by batch_id).
+
+        Mid-batch-crash replay: if the job died after this ledger write
+        but before the streaming checkpoint committed, the batch is
+        replayed — and _recover() already seeded the cumulatives from a
+        ledger that includes it. Detect the pre-existing partition and
+        retract its recorded batch_values before adding the replayed
+        counts, so cumulative counters stay exact (never double) for
+        this batch and every later one. Data sinks are overwrite-by-
+        batch_id and thus already idempotent; this closes the same gap
+        for the metrics."""
+        for name, v in self._read_batch_values(batch_id).items():
+            if name in self.acc:
+                self.acc[name].add(-int(v))
         for name, v in counts.items():
             if name not in self.acc:
                 self.acc[name] = self.spark.sparkContext.accumulator(0)

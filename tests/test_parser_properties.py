@@ -40,6 +40,22 @@ def log_lines(draw):
     return draw(st.text(max_size=60))  # arbitrary garbage
 
 
+def test_null_text_is_parse_failure_in_every_engine(spark):
+    """NULL input text → parse_ok=false (not NULL) with null fields, in
+    both vectorized engines and jvm codegen alike; fixture data never
+    contains nulls, so this pins the edge the contract can't reach."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "2024-01-02 03:04:05 INFO [bash] hi turn=1")],
+        "i long, text string",
+    )
+    for engine in ("arrow", "jvm"):
+        out = apply_parser(df, ParserConfig(TRANSCRIPT_PATTERN, "text", engine=engine))
+        rows = {r["i"]: r for r in out.collect()}
+        assert rows[0]["parse_ok"] is False, f"engine={engine}: null text must be False"
+        assert rows[0]["level"] is None
+        assert rows[1]["parse_ok"] is True
+
+
 @settings(
     max_examples=12,
     deadline=None,

@@ -92,6 +92,46 @@ def test_streaming_equals_batch_and_resumes(spark, sf_dir, tmp_path):
     assert last["cumulative"] == t.count()
 
 
+def test_ledger_replay_does_not_double_count(spark, sf_dir, tmp_path):
+    """Mid-batch-crash simulation: the ledger partition for batch N was
+    written but the streaming checkpoint never committed, so batch N is
+    replayed after restart. The recovered cumulatives already include
+    N; the replayed record_batch must retract before re-adding."""
+    from log_formatter_spark.operators.route import DEFAULT_ROUTES
+    from log_formatter_spark.streaming.ledger import MetricsLedger
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    t = transcripts_from_events(spark, sf_dir)
+    t.write.mode("overwrite").parquet(src)
+    run_streaming_pipeline(spark, src, out, str(tmp_path / "ckpt"))
+
+    led = read_ledger(spark, out + "/ledger")
+    last_id = led.agg(F.max("batch_id")).first()[0]
+    before = {
+        r["metric"]: r["cumulative"]
+        for r in led.where(F.col("batch_id") == last_id).collect()
+    }
+    replay_counts = {
+        r["metric"]: r["batch_value"]
+        for r in led.where(F.col("batch_id") == last_id).collect()
+    }
+
+    # restart: a fresh ledger recovers cumulatives that already include
+    # the uncommitted batch, then the engine replays that batch
+    ledger2 = MetricsLedger(spark, DEFAULT_ROUTES, out + "/ledger")
+    assert ledger2.snapshot() == before
+    ledger2.record_batch(last_id, replay_counts)
+    assert ledger2.snapshot() == before, "replay double-counted the batch"
+    after = {
+        r["metric"]: r["cumulative"]
+        for r in read_ledger(spark, out + "/ledger")
+        .where(F.col("batch_id") == last_id)
+        .collect()
+    }
+    assert after == before
+
+
 def test_watermarked_hourly_counts(spark, sf_dir, tmp_path):
     src = str(tmp_path / "in")
     t = transcripts_from_events(spark, sf_dir)
