@@ -349,9 +349,11 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
             _emb(s, d), min_cos=EMBED_MIN_COS
         ),
-        # banded sign-LSH near-dup (the scale path; exact baseline above)
+        # banded sign-LSH near-dup (the scale path; exact baseline above).
+        # n_bits pinned (not auto-sized) so the static SQL oracle renders
+        # the identical banding at any sf
         "dedup_embedding_lsh": lambda s, d: dedup.embedding_dup_pairs_lsh(
-            _emb(s, d), min_cos=EMBED_MIN_COS
+            _emb(s, d), min_cos=EMBED_MIN_COS, n_bits=dedup.EMBED_LSH_BITS
         ),
         # composite corpus cleaning (quality + dedup + lang + token bounds)
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),

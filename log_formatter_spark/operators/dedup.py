@@ -486,12 +486,16 @@ def embedding_dup_pairs(
 
 EMBED_LSH_BITS = 3
 EMBED_LSH_BANDS = 5
+# auto-sizing target: mean bucket occupancy the candidate join should
+# see; verify cost per band ≈ n_buckets * (n/n_buckets)^2 = n²/2^bits,
+# so bits must grow with log2(n) or the join degenerates toward O(n²)
+EMBED_LSH_TARGET_BUCKET = 64
 
 
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     min_cos: float,
-    n_bits: int = EMBED_LSH_BITS,
+    n_bits: int | None = None,
     n_bands: int = EMBED_LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -517,6 +521,17 @@ def embedding_dup_pairs_lsh(
     from log_formatter_spark.operators.similarity import anchor_units, bucket_expr
 
     u = with_unit(emb, id_col, vec_col)
+    if n_bits is None:
+        # auto-size the bucket code to the corpus: verify work per band
+        # is ~n²/2^bits, so hold mean bucket occupancy near the target.
+        # Measured at 10× driver scale (BENCH.md §6): fixed 3 bits cost
+        # 97 s where auto-sized buckets cost ~4 s, identical plan shape.
+        # One count() job up front — driver-sized result, and at cluster
+        # scale the table's row count is metadata (Iceberg snapshot).
+        import math
+
+        n = emb.count()
+        n_bits = max(3, min(16, math.ceil(math.log2(max(n, 2) / EMBED_LSH_TARGET_BUCKET))))
     anchors = anchor_units(u, n_bits * n_bands, id_col=id_col)
     band_structs = []
     for j in range(n_bands):

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Deterministic K× scale-up of the driver testdata (default 10×),
+for the one-notch-up bench run recorded in BENCH.md.
+
+Design goal: K× the *work*, not K²×. Naive replication makes every
+replica an exact duplicate of every other, so pair-forming dedup joins
+blow up quadratically in K (bucket sizes ×K → join rows ×K²) — a
+duplication-rate artifact, not a scale-up. Instead each replica is
+transformed so that within-replica structure is IDENTICAL to the
+original while cross-replica collisions vanish:
+
+- documents: per-replica Caesar rotation of letters (+ digit rotation).
+  Token boundaries, lengths and duplicate groups are preserved within a
+  replica; across replicas no shingle ever matches.
+- embeddings: per-replica deterministic sign-flip pattern over
+  dimensions — an orthogonal transform, so within-replica cosines are
+  bit-identical to the original corpus; across replicas vectors
+  decorrelate.
+- events: user_id shifted by a replica offset (new conversations, same
+  per-conversation turn structure).
+
+Usage: python scripts/make_scaled_testdata.py [K] [src_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import string
+import sys
+
+from pyspark.sql import functions as F
+
+from log_formatter_spark.session import get_spark
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/lfs_sf1"
+    spark = get_spark("make-scaled-testdata", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    digits = string.digits
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_parts = []
+    for r in range(k):
+        rot = (
+            lower[r:] + lower[:r] + upper[r:] + upper[:r] + digits[r % 10:] + digits[: r % 10]
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                F.translate(F.col("text"), lower + upper + digits, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionAll(p)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb_parts = []
+    for r in range(k):
+        # sign of dim j in replica r: flip iff bit (j % 7) of (r * 2654435761) is set
+        mask = (r * 2654435761) & 0x7F
+        signs = [(-1.0 if (mask >> (j % 7)) & 1 else 1.0) for j in range(64)]
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+            )
+        )
+    scaled_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        scaled_emb = scaled_emb.unionAll(p)
+    scaled_emb.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_parts = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(r * n_users)) for r in range(k)
+    ]
+    scaled_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        scaled_ev = scaled_ev.unionAll(p)
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    print(
+        f"wrote {k}x scale-up of {src} to {out}: "
+        f"{scaled_docs.count()} docs, {scaled_emb.count()} vecs, {scaled_ev.count()} events"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
