@@ -236,6 +236,35 @@ def _distinct_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming flagship's FINAL aggregates, oracle-checked against
+    the same SQL as the batch pipeline — the batch ≡ streaming
+    equivalence claim as a driver-hashed contract row (round 1 left
+    streaming pytest-gated only).
+
+    Runs the checkpoint-resumable foreachBatch job to completion
+    (Trigger.AvailableNow) over the sf transcripts written to a fresh
+    temp dir, then returns the summed per-batch partial aggregates.
+    Fresh out/checkpoint dirs per call keep the query idempotent for
+    repeated driver invocations."""
+    import tempfile
+
+    from log_formatter_spark.streaming.job import (
+        read_final_aggregates,
+        run_streaming_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_stream_")
+    src = f"{work}/in"
+    transcripts_from_events(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_streaming_pipeline(
+        spark, src, f"{work}/out", f"{work}/ckpt", max_files_per_trigger=2
+    )
+    return read_final_aggregates(spark, f"{work}/out")
+
+
 KAFKA_CORRUPT_EVERY = 20
 
 
@@ -306,6 +335,7 @@ def queries() -> dict[str, QueryFn]:
         # core pipeline (SURVEY.md §2)
         "pipeline_counts": _pipeline_counts("arrow"),
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
+        "streaming_pipeline_counts": _streaming_pipeline_counts,
         "parse_extract": _parse_extract,
         "parse_labels": _parse_labels,
         "enrich_join": _enrich_join,
@@ -359,7 +389,10 @@ def queries() -> dict[str, QueryFn]:
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
-        "similarity_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d), k=10),
+        # n_anchors pinned (not auto-sized) for the static SQL oracle
+        "similarity_lsh": lambda s, d: similarity.lsh_topk(
+            _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
+        ),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
         # Arrow-batched decode through mapInPandas, exploded to scalar
@@ -375,6 +408,9 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_view": TRANSCRIPTS_SQL,
         "pipeline_counts": _PIPELINE_COUNTS_SQL,
         "pipeline_counts_jvm": _PIPELINE_COUNTS_SQL,
+        # streaming final aggregates must hash-match the BATCH oracle —
+        # that equality is the exactly-once claim
+        "streaming_pipeline_counts": _PIPELINE_COUNTS_SQL,
         "parse_extract": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, parse_ok, ts_str, level, tool_tag, body FROM parsed",
         "parse_labels": TRANSCRIPT_CTES

@@ -119,20 +119,35 @@ def bucketed(
     return u.select(F.col(id_col), F.col("uv"), bucket.alias("bucket"))
 
 
+TOPK_TARGET_BUCKET = 64
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 10,
     n_queries: int = 8,
-    n_anchors: int = N_ANCHORS,
+    n_anchors: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: rank only candidates in the query's bucket.
 
-    No persist: ``bucketed`` is now a map-only projection, so the two
+    ``n_anchors=None`` auto-sizes the bucket code to the corpus
+    (⌈log₂(n/64)⌉ bits, clamped to [3, 16]): per-query candidate work is
+    ~n/2^bits, so bits must track log₂ n or buckets grow linearly with
+    the corpus — the same scaling law measured for the embedding
+    near-dup in BENCH.md §5a. Recall falls as buckets shrink; the exact
+    ``brute_topk`` is the correctness anchor.
+
+    No persist: ``bucketed`` is a map-only projection, so the two
     consumers (query filter + corpus side) just re-run a cheap pruned
     scan each — cheaper than tying up executor storage memory across a
-    34-query contract run (round-1 leak fix)."""
+    full contract run (round-1 leak fix)."""
+    if n_anchors is None:
+        import math
+
+        n = emb.count()
+        n_anchors = max(3, min(16, math.ceil(math.log2(max(n, 2) / TOPK_TARGET_BUCKET))))
     u = with_unit(emb, id_col, vec_col)
     b = bucketed(u, n_anchors=n_anchors, id_col=id_col)
     q = b.where(F.col(id_col) < n_queries).select(
