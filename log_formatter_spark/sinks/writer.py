@@ -46,15 +46,43 @@ def write_routed(
 
     At 10^12 rows this is strictly better than N filtered writes (one
     scan instead of N); dynamic partition overwrite keeps re-runs
-    idempotent per route.
+    idempotent per route. For ``fmt="iceberg"`` the target is a catalog
+    table identifier, not a directory, and the write goes through the
+    V2 writer (see _write_routed_iceberg) — the parquet writer's
+    ``partitionOverwriteMode`` option does not exist in Iceberg's
+    writer, whose default overwrite would replace the WHOLE table.
     """
+    fmt = fmt or TABLE_FORMAT
+    if fmt == "iceberg":
+        _write_routed_iceberg(df, base_dir)
+        return
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(ROUTE)
-        .format(fmt or TABLE_FORMAT)
+        .format(fmt)
         .save(base_dir)
     )
+
+
+def _write_routed_iceberg(df: DataFrame, table: str) -> None:
+    """Iceberg rendering of idempotent per-route replacement.
+
+    Dynamic partition replacement is a DataFrameWriterV2 *verb*
+    (``overwritePartitions()`` — replace exactly the route partitions
+    present in ``df``, leave the rest), not a writer option; on first
+    write the table is created partitioned by the route column. This
+    branch needs the iceberg-spark-runtime jar + a catalog on the
+    cluster (absent in this sandbox — the dispatch is unit-tested, the
+    execution is not; SURVEY §7.3)."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    try:
+        df.writeTo(table).overwritePartitions()
+    except AnalysisException:
+        # table (or its namespace) doesn't exist yet: first write
+        df.writeTo(table).partitionedBy(F.col(ROUTE)).create()
 
 
 def read_sink(
