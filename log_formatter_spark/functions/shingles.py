@@ -21,9 +21,21 @@ from log_formatter_spark.functions.text import tokens, TOKENS_SQL
 
 
 def shingle_df(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
+    """Word n-gram shingles per document (a set when ``distinct=True``).
+
+    ``distinct=False`` skips the dedup — and with it a full-width
+    shuffle of the (id, shingle) table. Correct whenever the consumer is
+    duplicate-idempotent: min-hash signatures use it (min over a
+    multiset == min over its set), which leaves the signature plan with
+    a single exchange that carries only (id, 16 longs) partials.
+    Set-semantics consumers (Jaccard counts, fingerprint cardinality)
+    must keep the default."""
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).where(
         F.size("toks") >= n
     )
@@ -33,9 +45,8 @@ def shingle_df(
         F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
     )
     parts = [F.element_at(F.col("toks"), F.col("i") + F.lit(k)) for k in range(n)]
-    return idx.select(
-        id_col, F.concat_ws(" ", *parts).alias("shingle")
-    ).distinct()
+    out = idx.select(id_col, F.concat_ws(" ", *parts).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def shingles_sql(
