@@ -227,6 +227,49 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON doc columns (the kafka `schema: json` / ES `_source`
+    shape, SURVEY §1.2): parse the events table's ``props`` JSON string
+    with a declared schema and aggregate the extracted field — at scale
+    a map-only from_json inside codegen feeding a partial agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k int").getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_EVENTS_PROPS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS INTEGER)) AS min_k,
+       max(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _busiest_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N ranking (the "hottest conversations" ops query):
+    count per conv, total-order sort, limit — Spark plans this as
+    partial-agg → final-agg → TakeOrderedAndProject, so the driver never
+    sees more than N rows and no full sort materializes."""
+    t = transcripts_from_events(spark, sf_dir)
+    counts = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return counts.orderBy(F.col("n_turns").desc(), "conv_id").limit(10)
+
+
+_BUSIEST_CONVS_SQL = (
+    TRANSCRIPT_CTES
+    + """
+SELECT conv_id, count(*) AS n_turns FROM transcripts
+GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 10
+"""
+)
+
+
 def _distinct_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-aggregation machinery (expand + two-phase agg)."""
     t = transcripts_from_events(spark, sf_dir)
@@ -348,6 +391,8 @@ def queries() -> dict[str, QueryFn]:
         "labels_stamp": _labels_stamp,
         "sink_template_route": _sink_template,
         "events_hourly": _events_hourly,
+        "events_props_json": _events_props_json,
+        "busiest_convs": _busiest_convs,
         "kafka_decode_json": _kafka_decode_json,
         "kafka_decode_raw": _kafka_decode_raw,
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
@@ -440,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT 'logs-' || coalesce(level, '') || '-' || coalesce(role, '') AS route,"
         " count(*) AS n FROM parsed GROUP BY 1",
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_props_json": _EVENTS_PROPS_JSON_SQL,
+        "busiest_convs": _BUSIEST_CONVS_SQL,
         "kafka_decode_json": TRANSCRIPT_CTES
         + kafka_fixture.kafka_decode_json_sql(corrupt_every=KAFKA_CORRUPT_EVERY),
         "kafka_decode_raw": TRANSCRIPT_CTES + kafka_fixture.kafka_decode_raw_sql(),
