@@ -1,0 +1,33 @@
+"""Catalog-wide plan hygiene: every driver-contract query's physical
+plan is screened for scale-killer nodes. Individual plan-shape tests
+live in test_plans.py; this sweep guarantees no FUTURE contract entry
+quietly ships an all-pairs product or row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from log_formatter_spark import contract
+
+# Exact baselines that are MEANT to be quadratic/non-equi on small
+# blocks (their bucketed scale paths are separate catalog entries):
+#   dedup_embedding  — all-pairs exact near-dup (anchor for the LSH path)
+#   similarity_topk  — broadcast non-equi join, query side tiny by design
+CROSS_PRODUCT_OK = {"dedup_embedding", "similarity_topk"}
+
+# streaming_pipeline_counts executes a full streaming job on call, and
+# its result is a read of materialized output — no single plan to audit
+SKIP = {"streaming_pipeline_counts"}
+
+NAMES = sorted(set(contract.queries()) - SKIP)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_no_scale_killer_nodes(spark, sf_dir, name):
+    df = contract.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in CROSS_PRODUCT_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cross product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
