@@ -11,8 +11,10 @@ from log_formatter_spark.streaming.job import (
     streaming_hourly_counts,
 )
 from log_formatter_spark.streaming.ledger import MetricsLedger, read_ledger
+from log_formatter_spark.streaming.state import track_conversations
 
 __all__ = [
+    "track_conversations",
     "TRANSCRIPT_SCHEMA",
     "stream_transcripts",
     "run_streaming_pipeline",
