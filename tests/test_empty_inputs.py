@@ -1,0 +1,87 @@
+"""Empty-input robustness: every major operator must plan and execute
+over zero-row inputs with a stable schema — no crashes from empty
+anchor collects, empty windows, or empty aggregations. (Limit(0) is the
+verify probe for 'what happens on the first empty micro-batch'.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from log_formatter_spark.functions import multimodal
+from log_formatter_spark.functions import shingles as sh
+from log_formatter_spark.functions import text as T
+from log_formatter_spark.operators import corpus, dedup, sessions, similarity
+from log_formatter_spark.operators.parser import ParserConfig, apply_parser
+from log_formatter_spark.pipeline import full_pipeline
+from log_formatter_spark.transcripts import TRANSCRIPT_PATTERN, transcripts_from_events
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(0)
+
+
+@pytest.fixture(scope="module")
+def empty_transcripts(spark, sf_dir):
+    return transcripts_from_events(spark, sf_dir).limit(0)
+
+
+def test_pipeline_on_empty_input(spark, empty_transcripts):
+    for engine in ("arrow", "jvm"):
+        from log_formatter_spark.pipeline import PipelineOptions
+
+        out = full_pipeline(spark, empty_transcripts, PipelineOptions(engine=engine))
+        assert out.count() == 0
+        assert set(out.columns) == {"route", "role", "tool", "hour", "n"}
+
+
+def test_parser_on_empty_input(spark, empty_transcripts):
+    for engine in ("arrow", "jvm"):
+        out = apply_parser(
+            empty_transcripts, ParserConfig(TRANSCRIPT_PATTERN, "text", engine=engine)
+        )
+        assert out.count() == 0
+        assert "parse_ok" in out.columns
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        dedup.exact_dedup,
+        lambda d: dedup.minhash_signatures(d, n=3),
+        lambda d: dedup.minhash_pairs(d, n=3),
+        lambda d: dedup.simhash(d),
+        lambda d: dedup.simhash_pairs_blocked(d, max_hamming=4),
+        lambda d: dedup.ngram_jaccard_pairs(d, n=3, max_doc_freq=100),
+        lambda d: corpus.corpus_filter(d),
+        lambda d: T.text_stats(d),
+        lambda d: T.lang_id(d),
+        lambda d: T.token_count(d),
+        lambda d: sh.fingerprint(d, n=5),
+        lambda d: multimodal.decode_features_exploded(multimodal.attach_payload(d)),
+    ],
+)
+def test_doc_operators_on_empty_input(spark, empty_docs, build):
+    assert build(empty_docs).count() == 0
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda e: dedup.embedding_dup_pairs(e, min_cos=0.4),
+        lambda e: dedup.embedding_dup_pairs_lsh(e, min_cos=0.4),  # auto-bits on n=0
+        lambda e: similarity.brute_topk(e, k=5),
+        lambda e: similarity.lsh_topk(e, k=5),  # empty anchor collect
+    ],
+)
+def test_embedding_operators_on_empty_input(spark, empty_emb, build):
+    assert build(empty_emb).count() == 0
+
+
+def test_sessions_on_empty_input(spark, empty_transcripts):
+    assert sessions.conversation_sessions(empty_transcripts).count() == 0
