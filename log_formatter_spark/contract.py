@@ -404,6 +404,7 @@ def queries() -> dict[str, QueryFn]:
         "text_stats": lambda s, d: T.text_stats(_docs(s, d)),
         "token_count": lambda s, d: T.token_count(_docs(s, d)),
         "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
+        "lang_id_ngram": lambda s, d: T.lang_id_ngram(_docs(s, d)),
         "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
@@ -499,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "token_count": T.token_count_sql(),
         "lang_id": T.lang_id_sql(),
+        "lang_id_ngram": T.lang_id_ngram_sql(),
         "doc_fingerprint": sh.fingerprint_sql(n=5),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),

@@ -166,6 +166,36 @@ _LANG_ORDER = ("en", "fr", "de", "es")
 _MIN_SCORE = 0.05
 
 
+# --- character-trigram profiles (the n-gram language heuristic) -----------
+#
+# Fixed top character trigrams per language (space-padded function-word
+# boundaries — ' th', 'he ', 'de ', etc. are the classic discriminators
+# from the n-gram LID literature, Cavnar & Trenkle-style). Deterministic
+# constants so Spark and the DuckDB oracle score identically.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " of", "of ", " an", "and", "nd ", " is", "is "),
+    "fr": (" le", "le ", " de", "de ", " la", "la ", "es ", " et", "et ", " un"),
+    "de": (" de", "der", "er ", " di", "die", "ie ", " un", "und", "nd ", "ch "),
+    "es": (" de", "de ", " la", "la ", " el", "el ", "os ", " y ", "as ", " en"),
+}
+
+
+def char_trigrams(col: Column) -> Column:
+    """All character trigrams of the lowercased, space-padded text (a
+    codegen'd array expression — map-only, no Python, no explode)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - F.lit(2), F.lit(0))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+
+
+CHAR_TRIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(length(' ' || lower({x}) || ' ') - 2, 0)),"
+    " i -> substr(' ' || lower({x}) || ' ', i, 3))"
+)
+
+
 def lang_pred_expr(scores: dict[str, Column]) -> Column:
     """Argmax over per-language scores with fixed tie order (earlier in
     _LANG_ORDER wins ties); all below threshold → 'und'. Shared by
@@ -208,6 +238,66 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_pred_expr(scores).alias("lang_pred"),
         *[scores[lang].alias(f"{lang}_score") for lang in _LANG_ORDER],
     )
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-trigram language heuristic (Cavnar–Trenkle-style
+    profile intersection) — the n-gram sibling of the stopword-profile
+    ``lang_id``. Score per language = fraction of the document's
+    trigram OCCURRENCES that appear in that language's fixed profile;
+    argmax with the same deterministic tie order. Entirely codegen'd
+    array expressions over one scan — map-only at any scale."""
+    trigs = char_trigrams(F.col(text_col))
+
+    def _hits(lang: str) -> Column:
+        prof = F.array(*[F.lit(g) for g in LANG_TRIGRAMS[lang]])
+        return F.size(F.filter(trigs, lambda t: F.array_contains(prof, t)))
+
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.size(trigs), F.lit(1)).alias("_n3"),
+        *[_hits(lang).alias(f"_g_{lang}") for lang in _LANG_ORDER],
+    )
+    scores = {lang: F.col(f"_g_{lang}") / F.col("_n3") for lang in _LANG_ORDER}
+    return base.select(
+        id_col,
+        lang_pred_expr(scores).alias("lang_pred"),
+        *[scores[lang].alias(f"{lang}_score") for lang in _LANG_ORDER],
+    )
+
+
+def lang_id_ngram_sql(
+    src: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    trigs = CHAR_TRIGRAMS_SQL.format(x=text_col)
+    hits = ",\n         ".join(
+        "CAST(len(list_filter(trigs, t -> list_contains(["
+        + ", ".join("'" + g.replace("'", "''") + "'" for g in LANG_TRIGRAMS[lang])
+        + f"], t))) AS INTEGER) AS _g_{lang}"
+        for lang in _LANG_ORDER
+    )
+    score = {lang: f"(_g_{lang} / _n3)" for lang in _LANG_ORDER}
+    whens = []
+    for lang in _LANG_ORDER:
+        conds = [f"{score[lang]} >= {_MIN_SCORE}"]
+        for o in _LANG_ORDER:
+            if o == lang:
+                continue
+            op = ">" if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang) else ">="
+            conds.append(f"{score[lang]} {op} {score[o]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    sel_scores = ", ".join(f"{score[lang]} AS {lang}_score" for lang in _LANG_ORDER)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         greatest(CAST(len(trigs) AS INTEGER), 1) AS _n3,
+         {hits}
+  FROM (SELECT {id_col}, {trigs} AS trigs FROM {src})
+)
+SELECT {id_col}, {case} AS lang_pred, {sel_scores}
+FROM base
+"""
 
 
 def lang_id_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
