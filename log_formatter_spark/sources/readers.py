@@ -90,6 +90,29 @@ def _kafka_source(spark: SparkSession, cfg: dict) -> DataFrame:
     return decode_kafka_value(df, "raw")
 
 
+def _kafka_fixture_source(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Broker-free kafka-shaped source: deterministic frames synthesized
+    from the transcripts view, decoded by the SAME decode_kafka_value
+    the live kafka source uses — lets a YAML config drive the kafka
+    decode path end-to-end with no broker (sources/kafka_fixture.py)."""
+    from log_formatter_spark.sources.kafka_fixture import (
+        KAFKA_JSON_SCHEMA,
+        decode_kafka_value,
+        kafka_frames,
+    )
+    from log_formatter_spark.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, cfg["sf_dir"])
+    frames = kafka_frames(
+        t,
+        value_format="json" if cfg.get("schema", "json") == "json" else "raw",
+        corrupt_every=cfg.get("corrupt_every"),
+    )
+    if cfg.get("schema", "json") == "json":
+        return decode_kafka_value(frames, "json", cfg.get("json_schema", KAFKA_JSON_SCHEMA))
+    return decode_kafka_value(frames, "raw")
+
+
 def _events_transcripts(spark: SparkSession, cfg: dict) -> DataFrame:
     from log_formatter_spark.transcripts import transcripts_from_events
 
@@ -116,6 +139,7 @@ SOURCES: dict[str, SourceFn] = {
     "json": _json_source,
     "rate": _rate_source,
     "kafka": _kafka_source,
+    "kafka_fixture": _kafka_fixture_source,
     "events_transcripts": _events_transcripts,
     "synthetic_transcripts": _synthetic,
     "stream_transcripts": _stream_transcripts,
