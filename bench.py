@@ -59,14 +59,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = contract.queries()
-    # warm-up: session JIT + Arrow python-worker spawn land here, not on
-    # the first timed query
+    # warm-up: session JIT, codegen, page cache on the parquet inputs,
+    # and BOTH python-worker pools (Arrow path spawns its own workers)
+    # land here, not on the first timed query
     _materialize(qs["pipeline_counts"](spark, sf_dir))
+    _materialize(qs["pipeline_counts_jvm"](spark, sf_dir))
+    # min-of-K per query: the metric is steady-state throughput (what a
+    # long-running cluster job sees), not first-iteration JIT/IO warmup —
+    # single-shot timings on a fresh box were ±2× noisy (BENCH.md §7)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # flagship throughput: synthetic transcripts at bench scale,
     # materialized to parquet first so generation cost (a one-off
@@ -78,14 +87,17 @@ def main() -> None:
             "overwrite"
         ).parquet(input_dir)
     t = spark.read.parquet(input_dir)
+    t.write.format("noop").mode("overwrite").save()  # page-cache warm scan
     flagship = None
     for engine in ("arrow", "jvm"):
-        t0 = time.time()
-        _materialize(full_pipeline(spark, t, PipelineOptions(engine=engine)))
-        secs = time.time() - t0
-        times[f"flagship_{engine}"] = round(secs, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(full_pipeline(spark, t, PipelineOptions(engine=engine)))
+            best = min(best, time.time() - t0)
+        times[f"flagship_{engine}"] = round(best, 3)
         if engine == "arrow":
-            flagship = secs
+            flagship = best
     turns_per_sec = n_turns / flagship
 
     total = round(sum(times.values()), 3)
