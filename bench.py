@@ -43,6 +43,13 @@ HEADLINE = [
     # round 2: the all-pairs dedup_embedding crossJoin (12.7 s at sf0.1,
     # O(n^2) at scale) is replaced by the banded-LSH bucket-join plan
     "dedup_embedding_lsh",
+    # round 2b: as-of join, winnowing, IVF ANN, relational OLAP trio
+    "asof_last_click",
+    "doc_winnow",
+    "similarity_ivf",
+    "pricing_summary",
+    "segment_top_orders",
+    "regional_revenue",
 ]
 
 

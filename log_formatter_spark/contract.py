@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_formatter_spark.functions import multimodal
+from log_formatter_spark.functions import multimodal, sketch
 from log_formatter_spark.functions import shingles as sh
 from log_formatter_spark.functions import text as T
 from log_formatter_spark.lookups import (
@@ -32,7 +32,7 @@ from log_formatter_spark.lookups import (
     role_lookup,
     tool_lookup,
 )
-from log_formatter_spark.operators import corpus, dedup, sessions, similarity
+from log_formatter_spark.operators import analytics, corpus, dedup, sessions, similarity
 from log_formatter_spark.sources import kafka_fixture
 from log_formatter_spark.operators.filter import apply_filter
 from log_formatter_spark.operators.labels import stamp_labels
@@ -367,6 +367,63 @@ FROM (SELECT doc_id, {_H60.format(x="(CAST(doc_id AS VARCHAR) || ':split')")} % 
 """
 
 
+def _asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase gets the latest
+    at-or-before click of the same user (left-outer as-of join). The
+    Spark plan is the single-shuffle union+window form
+    (operators/asof.py); the oracle is DuckDB's native ASOF LEFT JOIN —
+    two different algorithms, hash-matched. The right side is deduped to
+    one row per (user_id, ts) (max event_id wins) so the maximal-match
+    rule is well-defined in both engines."""
+    from pyspark.sql import Window
+
+    from log_formatter_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+        prefix="last_click_",
+    )
+
+
+_ASOF_LAST_CLICK_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS last_click_ts, c.event_id AS last_click_event_id,
+       c.value AS last_click_value
+FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 # --- catalog --------------------------------------------------------------
 
 
@@ -395,6 +452,25 @@ def queries() -> dict[str, QueryFn]:
         "busiest_convs": _busiest_convs,
         "kafka_decode_json": _kafka_decode_json,
         "kafka_decode_raw": _kafka_decode_raw,
+        "asof_last_click": _asof_last_click,
+        "kmv_distinct_users": _kmv_distinct_users,
+        # relational OLAP over the warehouse tables
+        "pricing_summary": lambda s, d: analytics.pricing_summary(
+            s.read.parquet(f"{d}/lineitem.parquet")
+        ),
+        "segment_top_orders": lambda s, d: analytics.segment_top_orders(
+            s.read.parquet(f"{d}/customer.parquet"),
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/lineitem.parquet"),
+        ),
+        "regional_revenue": lambda s, d: analytics.regional_revenue(
+            s.read.parquet(f"{d}/customer.parquet"),
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/lineitem.parquet"),
+            s.read.parquet(f"{d}/supplier.parquet"),
+            s.read.parquet(f"{d}/nation.parquet"),
+            s.read.parquet(f"{d}/region.parquet"),
+        ),
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
             transcripts_from_events(s, d)
         ),
@@ -406,6 +482,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
         "lang_id_ngram": lambda s, d: T.lang_id_ngram(_docs(s, d)),
         "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
+        "doc_winnow": lambda s, d: sh.winnow(_docs(s, d), n=3, w=4),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
@@ -439,6 +516,7 @@ def queries() -> dict[str, QueryFn]:
         "similarity_lsh": lambda s, d: similarity.lsh_topk(
             _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
         ),
+        "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
         # Arrow-batched decode through mapInPandas, exploded to scalar
@@ -497,11 +575,17 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT date_trunc('hour', ts) AS hour, count(DISTINCT conv_id) AS n_convs,"
         " count(*) AS n_turns FROM transcripts GROUP BY date_trunc('hour', ts)",
         "dataset_split": _DATASET_SPLIT_SQL,
+        "asof_last_click": _ASOF_LAST_CLICK_SQL,
+        "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
+        "pricing_summary": analytics.pricing_summary_sql(),
+        "segment_top_orders": analytics.segment_top_orders_sql(),
+        "regional_revenue": analytics.regional_revenue_sql(),
         "text_stats": T.text_stats_sql(),
         "token_count": T.token_count_sql(),
         "lang_id": T.lang_id_sql(),
         "lang_id_ngram": T.lang_id_ngram_sql(),
         "doc_fingerprint": sh.fingerprint_sql(n=5),
+        "doc_winnow": sh.winnow_sql(n=3, w=4),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
@@ -515,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": corpus.corpus_filter_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
+        "similarity_ivf": similarity.ivf_topk_sql(k=10),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),
     }

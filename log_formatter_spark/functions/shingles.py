@@ -13,7 +13,7 @@ never materializes the original text past the first projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.hashing import md5_60, MD5_60_SQL
@@ -60,6 +60,106 @@ SELECT DISTINCT {id_col}, shingle FROM (
          unnest(list_transform(generate_series(1, len(toks) - {n - 1}), i -> {parts})) AS shingle
   FROM (SELECT {id_col}, {toks} AS toks FROM {src}) _t
 )
+"""
+
+
+def positional_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, i, shingle, n_sh) with 1-based position — winnowing needs the
+    sequence, not the set, so duplicates at different positions survive.
+    ``n_sh`` (shingle count) rides along from ``size(toks)`` so consumers
+    can bound window starts without a second aggregation pass."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).where(
+        F.size("toks") >= n
+    )
+    idx = base.select(
+        id_col,
+        "toks",
+        (F.size("toks") - (n - 1)).alias("n_sh"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+    )
+    parts = [F.element_at(F.col("toks"), F.col("i") + F.lit(k)) for k in range(n)]
+    return idx.select(id_col, "i", F.concat_ws(" ", *parts).alias("shingle"), "n_sh")
+
+
+def winnow(
+    df: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): slide a ``w``-wide window over the positional shingle
+    hash sequence and keep each window's minimum; distinct selected
+    hashes are the document's fingerprints.
+
+    Guarantees (why plagiarism/near-dup pipelines use it over bottom-k):
+    any shared run of ``w + n - 1`` tokens between two documents yields
+    at least one IDENTICAL selected fingerprint, and fingerprint density
+    is ~2/(w+1) of shingles regardless of document length.
+
+    Plan: positional shingles (map-only after the token projection) →
+    ONE hash exchange on doc_id with a per-partition sort by position →
+    rolling ``min`` over ROWS [i, i+w-1] → distinct. Docs shorter than a
+    full window degrade to their global min hash (the ``greatest(1, ..)``
+    clamp) so every tokenizable doc gets ≥1 fingerprint. The distinct's
+    second exchange carries only (doc_id, fp) pairs, ~2/(w+1) the
+    shingle count.
+    """
+    pos = positional_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    pos = pos.select(id_col, "i", "n_sh", md5_60(F.col("shingle")).alias("h"))
+    roll = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        pos.select(
+            id_col,
+            "i",
+            "n_sh",
+            F.min("h").over(roll).alias("fp"),
+        )
+        .where(F.col("i") <= F.greatest(F.lit(1), F.col("n_sh") - (w - 1)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def positional_shingles_sql(
+    src: str = "documents", n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return f"""
+SELECT {id_col}, s.i AS i, s.shingle AS shingle, len(toks) - {n - 1} AS n_sh
+FROM (
+  SELECT {id_col}, toks,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> {{'i': i, 'shingle': {parts}}})) AS s
+  FROM (SELECT {id_col}, {toks} AS toks FROM {src}) _t
+  WHERE len(toks) >= {n}
+)
+"""
+
+
+def winnow_sql(
+    src: str = "documents",
+    n: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    h = MD5_60_SQL.format(x="shingle")
+    return f"""
+WITH pos AS (
+  SELECT {id_col}, i, {h} AS h, n_sh
+  FROM ({positional_shingles_sql(src, n=n, text_col=text_col, id_col=id_col)})
+)
+SELECT DISTINCT {id_col}, fp FROM (
+  SELECT {id_col}, i, n_sh,
+         min(h) OVER (PARTITION BY {id_col} ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM pos
+) WHERE i <= greatest(1, n_sh - {w - 1})
 """
 
 

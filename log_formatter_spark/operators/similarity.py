@@ -166,6 +166,127 @@ def lsh_topk(
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _cell_structs(cents: list[tuple[int, list[float]]]):
+    """Array of (dot, cid) structs — struct comparison orders by dot then
+    cid, so array_max is argmax-with-deterministic-ties (larger cid wins)."""
+    return F.array(
+        *[
+            F.struct(dot(F.col("uv"), F.lit(cv)).alias("d"), F.lit(cid).alias("cid"))
+            for cid, cv in cents
+        ]
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantize, probe, exact rerank.
+
+    The second ANN family next to sign-LSH (``lsh_topk``): partition the
+    corpus into ``n_centroids`` Voronoi cells (assignment = argmax dot
+    against the centroid set), then each query probes only its
+    ``n_probe`` nearest cells and exact-reranks the candidates. Centroids
+    are the lowest-id corpus vectors — deterministic, so reruns and the
+    DuckDB oracle agree bit-for-bit (a trained k-means would sharpen the
+    cells; the plumbing and plan shape are identical, and determinism is
+    what makes the driver's hash check possible).
+
+    Plan shape at 100 TB: centroids are collected once (driver-sized:
+    n_centroids rows) and embedded as literals → cell assignment is a
+    map-only codegen'd projection, NO shuffle of the corpus; the probe
+    table is (n_queries × n_probe) rows and is broadcast, so candidate
+    formation is a broadcast hash join on ``cell`` — per-query work is
+    n_probe/n_centroids of the corpus instead of all of it, and the only
+    wide exchange is the final per-query top-k window over candidates.
+    At real scale n_centroids grows to ~sqrt(n) (cells stay
+    executor-sized) and the same plan holds.
+    """
+    u = with_unit(emb, id_col, vec_col)
+    cents = anchor_units(u, n_centroids, id_col=id_col)
+    if not cents:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, cos double"
+        )
+    assigned = u.select(
+        F.col(id_col), F.col("uv"), F.array_max(_cell_structs(cents)).getField("cid").alias("cell")
+    )
+    # probe list: per query, the n_probe cells with the largest centroid
+    # dot (desc, cid desc on ties — mirrors the argmax tie rule)
+    probes = (
+        u.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("uv").alias("qu"),
+            F.explode(_cell_structs(cents)).alias("dc"),
+        )
+        .select("q_id", "qu", F.col("dc.d").alias("d"), F.col("dc.cid").alias("cell"))
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("cell").desc())
+    probes = (
+        probes.withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= n_probe)
+        .select("q_id", "qu", "cell")
+    )
+    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cu"), "cell")
+    pairs = c.join(F.broadcast(probes), on="cell").where(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("q_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk_sql(
+    src: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    d = dot_sql("v.uv", "c.cu")
+    cos = dot_sql("q.qu", "n.cu")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+cents AS (SELECT {id_col} AS cid, uv AS cu FROM u WHERE {id_col} < {n_centroids}),
+dots AS (SELECT v.{id_col} AS id, v.uv, c.cid, {d} AS d FROM u v, cents c),
+assigned AS (
+  SELECT id, uv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS q_id, uv AS qu, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE id < {n_queries} AND rn <= {n_probe}
+),
+pairs AS (
+  SELECT q.q_id, n.id AS neighbor_id, {cos} AS cos
+  FROM (SELECT a.id, a.uv AS cu, a.cell FROM assigned a) n
+  JOIN probes q ON n.cell = q.cell AND q.q_id <> n.id
+)
+SELECT q_id, neighbor_id, rank, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def lsh_topk_sql(
     src: str = "embeddings",
     k: int = 10,

@@ -1,0 +1,76 @@
+"""As-of join: specification tests against hand-computed expectations,
+plus the plan-shape guarantee (one exchange, no join node — the operator
+is a window, not a range join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from log_formatter_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _build(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(10), lv="L1"),   # matches r@5
+            Row(k="a", ts=_ts(20), lv="L2"),   # matches r@20 (inclusive)
+            Row(k="a", ts=_ts(3), lv="L3"),    # before all right rows -> nulls
+            Row(k="b", ts=_ts(10), lv="L4"),   # other key -> r(b)@9
+            Row(k="c", ts=_ts(10), lv="L5"),   # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(5), rid=1, v="r5"),
+            Row(k="a", ts=_ts(20), rid=2, v=None),   # null value col still matches
+            Row(k="a", ts=_ts(20), rid=3, v="r20b"), # dup ts: max tiebreak wins
+            Row(k="b", ts=_ts(9), rid=4, v="rb"),
+        ]
+    )
+    return left, right
+
+
+def test_asof_spec(spark):
+    left, right = _build(spark)
+    out = asof_join(
+        left, right, on="k", ts_col="ts", value_cols=["rid", "v"],
+        tiebreak_col="rid", prefix="m_",
+    )
+    got = {r["lv"]: (r["m_ts"], r["m_rid"], r["m_v"]) for r in out.collect()}
+    assert got == {
+        "L1": (_ts(5), 1, "r5"),
+        # inclusive <= bound; duplicate right ts -> max tiebreak (rid=3)
+        "L2": (_ts(20), 3, "r20b"),
+        "L3": (None, None, None),
+        "L4": (_ts(9), 4, "rb"),
+        "L5": (None, None, None),
+    }
+    # left row count and columns preserved
+    assert out.count() == left.count()
+    assert [c for c in out.columns[:3]] == ["k", "ts", "lv"]
+
+
+def test_asof_null_value_does_not_mix_rows(spark):
+    """The matched right row travels as one struct: a null member must
+    surface as null, not be back-filled from an older right row."""
+    left, right = _build(spark)
+    out = asof_join(
+        left.where("lv = 'L2'"), right.where("rid <= 2"),
+        on="k", ts_col="ts", value_cols=["rid", "v"], tiebreak_col="rid", prefix="m_",
+    )
+    [r] = out.collect()
+    assert (r["m_rid"], r["m_v"]) == (2, None)  # NOT (2, "r5")
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    left, right = _build(spark)
+    out = asof_join(left, right, on="k", ts_col="ts", tiebreak_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "as-of must be the union+window plan, not a join"
+    assert plan.count("Exchange hashpartitioning") == 1, plan

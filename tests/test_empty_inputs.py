@@ -63,6 +63,7 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: T.lang_id(d),
         lambda d: T.token_count(d),
         lambda d: sh.fingerprint(d, n=5),
+        lambda d: sh.winnow(d, n=3, w=4),
         lambda d: multimodal.decode_features_exploded(multimodal.attach_payload(d)),
     ],
 )
@@ -77,6 +78,7 @@ def test_doc_operators_on_empty_input(spark, empty_docs, build):
         lambda e: dedup.embedding_dup_pairs_lsh(e, min_cos=0.4),  # auto-bits on n=0
         lambda e: similarity.brute_topk(e, k=5),
         lambda e: similarity.lsh_topk(e, k=5),  # empty anchor collect
+        lambda e: similarity.ivf_topk(e, k=5),  # empty centroid collect
     ],
 )
 def test_embedding_operators_on_empty_input(spark, empty_emb, build):
@@ -85,3 +87,17 @@ def test_embedding_operators_on_empty_input(spark, empty_emb, build):
 
 def test_sessions_on_empty_input(spark, empty_transcripts):
     assert sessions.conversation_sessions(empty_transcripts).count() == 0
+
+
+def test_asof_kmv_on_empty_input(spark, sf_dir):
+    from log_formatter_spark.functions.sketch import kmv_distinct
+    from log_formatter_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    empty = ev.limit(0)
+    assert kmv_distinct(empty, "event_type", "user_id").count() == 0
+    # empty left keeps schema; empty right means every left row gets nulls
+    assert asof_join(empty, ev, on="user_id", ts_col="ts").count() == 0
+    joined = asof_join(ev.limit(5), empty, on="user_id", ts_col="ts")
+    rows = joined.collect()
+    assert len(rows) == 5 and all(r["asof_ts"] is None for r in rows)
