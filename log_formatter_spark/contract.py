@@ -32,7 +32,14 @@ from log_formatter_spark.lookups import (
     role_lookup,
     tool_lookup,
 )
-from log_formatter_spark.operators import analytics, corpus, dedup, sessions, similarity
+from log_formatter_spark.operators import (
+    analytics,
+    corpus,
+    dedup,
+    olap,
+    sessions,
+    similarity,
+)
 from log_formatter_spark.sources import kafka_fixture
 from log_formatter_spark.operators.filter import apply_filter
 from log_formatter_spark.operators.labels import stamp_labels
@@ -454,6 +461,21 @@ def queries() -> dict[str, QueryFn]:
         "kafka_decode_raw": _kafka_decode_raw,
         "asof_last_click": _asof_last_click,
         "kmv_distinct_users": _kmv_distinct_users,
+        "events_rollup": lambda s, d: olap.events_rollup(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        "top_users_per_type": lambda s, d: olap.top_users_per_type(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        "purchasers_without_clicks": lambda s, d: olap.purchasers_without_clicks(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        "user_rolling_count": lambda s, d: olap.user_rolling_count(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        "events_pivot": lambda s, d: olap.events_pivot(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
         # relational OLAP over the warehouse tables
         "pricing_summary": lambda s, d: analytics.pricing_summary(
             s.read.parquet(f"{d}/lineitem.parquet")
@@ -577,6 +599,11 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "asof_last_click": _ASOF_LAST_CLICK_SQL,
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
+        "events_rollup": olap.events_rollup_sql(),
+        "top_users_per_type": olap.top_users_per_type_sql(),
+        "purchasers_without_clicks": olap.purchasers_without_clicks_sql(),
+        "user_rolling_count": olap.user_rolling_count_sql(),
+        "events_pivot": olap.events_pivot_sql(),
         "pricing_summary": analytics.pricing_summary_sql(),
         "segment_top_orders": analytics.segment_top_orders_sql(),
         "regional_revenue": analytics.regional_revenue_sql(),

@@ -1,0 +1,144 @@
+"""General OLAP operator surface over the events table: rollup
+subtotals, per-group top-k, anti-join cohorts, sliding time-range
+windows, and pivot — the remaining query shapes a reference user's
+ad-hoc analytics would need, each with an exact DuckDB oracle.
+
+Scale notes per operator live on each function; the common thread is
+that every one is a single-exchange plan (grouping sets / window /
+anti-join all hash-partition once on their key) with map-side partial
+aggregation wherever the aggregate is algebraic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_rollup(ev: DataFrame) -> DataFrame:
+    """ROLLUP (event_type, hour): detail rows + per-type subtotals +
+    grand total in ONE pass. Spark expands grouping sets before the
+    exchange, so partial aggregation still combines map-side — the
+    shuffle carries ≤3× the group cardinality, never 3× the data."""
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    return (
+        ev.rollup("event_type", hour)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def events_rollup_sql(src: str = "events") -> str:
+    return f"""
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(grouping(event_type) * 2 + grouping(date_trunc('hour', ts)) AS BIGINT) AS gid
+FROM {src}
+GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+"""
+
+
+def top_users_per_type(ev: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k (rank within partition): the bounded form of
+    "hottest users" — state per group is k rows, not a global sort."""
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
+def top_users_per_type_sql(src: str = "events", k: int = 3) -> str:
+    return f"""
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS INTEGER) AS rank
+  FROM {src} GROUP BY event_type, user_id
+) WHERE rank <= {k}
+"""
+
+
+def purchasers_without_clicks(ev: DataFrame) -> DataFrame:
+    """Cohort anti-join: users who purchased but never clicked. The
+    exclusion set is an aggregated (distinct user) table — at any scale
+    it is ≪ the event log, so the anti-join hash-partitions two
+    already-shrunk distinct sets, or broadcasts the smaller one."""
+    purchasers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    return purchasers.join(clickers, on="user_id", how="left_anti")
+
+
+def purchasers_without_clicks_sql(src: str = "events") -> str:
+    return f"""
+SELECT DISTINCT user_id FROM {src} WHERE event_type = 'purchase'
+  AND user_id NOT IN (SELECT user_id FROM {src} WHERE event_type = 'click')
+"""
+
+
+ROLLING_WINDOW_S = 7 * 24 * 3600
+
+
+def user_rolling_count(ev: DataFrame, window_s: int = ROLLING_WINDOW_S) -> DataFrame:
+    """Sliding time-range window: per event, how many events the same
+    user produced in the trailing ``window_s`` seconds (inclusive).
+    RANGE frames run over integer MICROSECOND epochs — both engines
+    order on the exact same int64 (second-granularity epochs would
+    truncate differently than DuckDB's fractional epoch()), and peers
+    (equal timestamps) group identically. One exchange on user_id;
+    frame evaluation is a per-partition sorted scan."""
+    # ts is TIMESTAMP_NTZ; with the UTC session timezone the NTZ→LTZ
+    # cast is the identity mapping, and unix_micros gives exact int64
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_trailing")
+    )
+
+
+def user_rolling_count_sql(src: str = "events", window_s: int = ROLLING_WINDOW_S) -> str:
+    return f"""
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {window_s * 1_000_000} PRECEDING AND CURRENT ROW) AS n_trailing
+FROM {src}
+"""
+
+
+def events_pivot(ev: DataFrame) -> DataFrame:
+    """Pivot event_type → columns of per-hour-of-day counts. The pivot
+    value list is pinned (EVENT_TYPES) so the plan is static — Spark
+    otherwise runs a collect-distinct job to discover columns, which at
+    100 TB is a full extra pass."""
+    hod = F.hour("ts").alias("hour_of_day")
+    out = ev.groupBy(hod).pivot("event_type", EVENT_TYPES).count()
+    # count() pivot yields nulls for absent combos; normalize to 0 like
+    # the oracle's conditional sums
+    return out.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def events_pivot_sql(src: str = "events") -> str:
+    cols = ",\n       ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT hour(ts) AS hour_of_day,
+       {cols}
+FROM {src} GROUP BY hour(ts)
+"""
