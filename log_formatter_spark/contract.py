@@ -546,6 +546,12 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_decode": lambda s, d: multimodal.decode_features_exploded(
             multimodal.attach_payload(_docs(s, d))
         ),
+        "multimodal_frames": lambda s, d: multimodal.frame_sample(
+            multimodal.attach_payload(_docs(s, d))
+        ),
+        "multimodal_resize": lambda s, d: multimodal.resize_pooled(
+            multimodal.attach_payload(_docs(s, d))
+        ),
     }
 
 
@@ -629,4 +635,6 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),
+        "multimodal_frames": multimodal.frame_sample_sql(),
+        "multimodal_resize": multimodal.resize_pooled_sql(),
     }

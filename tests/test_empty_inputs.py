@@ -65,6 +65,8 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: sh.fingerprint(d, n=5),
         lambda d: sh.winnow(d, n=3, w=4),
         lambda d: multimodal.decode_features_exploded(multimodal.attach_payload(d)),
+        lambda d: multimodal.frame_sample(multimodal.attach_payload(d)),
+        lambda d: multimodal.resize_pooled(multimodal.attach_payload(d)),
     ],
 )
 def test_doc_operators_on_empty_input(spark, empty_docs, build):
