@@ -476,6 +476,10 @@ def queries() -> dict[str, QueryFn]:
         "events_pivot": lambda s, d: olap.events_pivot(
             s.read.parquet(f"{d}/events.parquet")
         ),
+        "value_quantiles": lambda s, d: olap.value_quantiles(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        "vocab_topk": lambda s, d: olap.vocab_topk(_docs(s, d)),
         # relational OLAP over the warehouse tables
         "pricing_summary": lambda s, d: analytics.pricing_summary(
             s.read.parquet(f"{d}/lineitem.parquet")
@@ -610,6 +614,8 @@ def oracle_sql() -> dict[str, str]:
         "purchasers_without_clicks": olap.purchasers_without_clicks_sql(),
         "user_rolling_count": olap.user_rolling_count_sql(),
         "events_pivot": olap.events_pivot_sql(),
+        "value_quantiles": olap.value_quantiles_sql(),
+        "vocab_topk": olap.vocab_topk_sql(),
         "pricing_summary": analytics.pricing_summary_sql(),
         "segment_top_orders": analytics.segment_top_orders_sql(),
         "regional_revenue": analytics.regional_revenue_sql(),

@@ -117,6 +117,84 @@ FROM {src}
 """
 
 
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def value_quantiles(ev: DataFrame, qs: tuple[float, ...] = QUANTILES) -> DataFrame:
+    """Exact per-group quantiles of ``value`` by deterministic rank
+    arithmetic: q-th quantile = the value at 1-based rank ceil(q·n) in
+    the (value, event_id)-sorted group — pure integer index selection,
+    so both engines pick the IDENTICAL row (no interpolation, whose
+    floating arithmetic differs between engines).
+
+    Scale shape: one exchange on the group key + per-partition sort —
+    the same cost class as any per-group ranking. For percentile state
+    too hot even for that, Spark's ``percentile_approx`` (t-digest
+    sketch) is the production fallback, like HLL beside the KMV sketch
+    — it just can't be cross-engine hash-verified, which this can.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def value_quantiles_sql(src: str = "events", qs: tuple[float, ...] = QUANTILES) -> str:
+    sel = ",\n       ".join(
+        f"max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) THEN value END) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+SELECT event_type, {sel}
+FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM {src}
+)
+GROUP BY event_type
+"""
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global top-k tokens by document frequency —
+    the vocab-building primitive for tokenizer training. Token explode →
+    (token, df) aggregation (map-side combinable) → global top-k via
+    TakeOrderedAndProject (no full sort materializes)."""
+    from log_formatter_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return counts.orderBy(F.col("df").desc(), "token").limit(k)
+
+
+def vocab_topk_sql(src: str = "documents", k: int = 100) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+SELECT token, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest({toks}) AS token FROM {src}
+  )
+)
+GROUP BY token ORDER BY df DESC, token LIMIT {k}
+"""
+
+
 def events_pivot(ev: DataFrame) -> DataFrame:
     """Pivot event_type → columns of per-hour-of-day counts. The pivot
     value list is pinned (EVENT_TYPES) so the plan is static — Spark
