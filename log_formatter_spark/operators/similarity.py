@@ -181,6 +181,25 @@ def _cell_structs(cents: list[tuple[int, list[float]]]):
     )
 
 
+def _argmax_cell(cents: list[tuple[int, list[float]]]):
+    """Argmax over the centroid dots (larger cid wins exact ties), made
+    provably NON-NULLABLE via the coalesce(-1) wrapper.
+
+    Nullability is the load-bearing property, not the argmax encoding:
+    when a nullable expression is an INNER-JOIN key, Catalyst adds an
+    ``isnotnull(key)`` filter and pushes it below the projection — where
+    the whole cell expression gets re-inlined over the RAW embedding
+    column (re-deriving the unit-normalization per dot) and evaluated a
+    second time per corpus row, in interpreted mode (higher-order
+    zip_with/aggregate lambdas have no codegen). Measured: 8.8 s vs
+    0.9 s for the same candidate join at 20k vectors. ``lsh_topk`` never
+    hit this because its sum-of-whens bucket is non-nullable by
+    construction; the -1 sentinel (impossible cell id) buys the same
+    for the struct argmax."""
+    best = F.array_max(_cell_structs(cents))
+    return F.coalesce(best.getField("cid"), F.lit(-1))
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
@@ -218,7 +237,7 @@ def ivf_topk(
             [], "q_id long, neighbor_id long, rank int, cos double"
         )
     assigned = u.select(
-        F.col(id_col), F.col("uv"), F.array_max(_cell_structs(cents)).getField("cid").alias("cell")
+        F.col(id_col), F.col("uv"), _argmax_cell(cents).alias("cell")
     )
     # probe list: per query, the n_probe cells with the largest centroid
     # dot (desc, cid desc on ties — mirrors the argmax tie rule)
