@@ -534,6 +534,11 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding_lsh": lambda s, d: dedup.embedding_dup_pairs_lsh(
             _emb(s, d), min_cos=EMBED_MIN_COS, n_bits=dedup.EMBED_LSH_BITS
         ),
+        # pairs → connected components → survivors (iterative label
+        # propagation; oracle = DuckDB recursive CTE, a different algorithm)
+        "dedup_clusters": lambda s, d: dedup.cluster_pairs(
+            _docs(s, d), dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5)
+        ),
         # composite corpus cleaning (quality + dedup + lang + token bounds)
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
         # similarity search
@@ -632,6 +637,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
             n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
+        ),
+        "dedup_clusters": dedup.cluster_pairs_sql(
+            dedup.minhash_pairs_sql(n=3, min_est=0.5)
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),

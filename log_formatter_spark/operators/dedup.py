@@ -487,6 +487,109 @@ WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {min_jaccard}
 """
 
 
+# --- cluster resolution (pairs → components → survivors) ------------------
+
+
+def cluster_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup clusters: every doc gets
+    ``cluster_id`` = the minimum doc id in its connected component, and
+    the component minimum is the survivor. This is the step that turns
+    any pair-emitting dedup (MinHash/SimHash/embedding LSH) into an
+    actionable keep/drop list — pairs alone double-count transitive
+    duplicates (a~b, b~c must drop two docs, not be counted as two
+    independent pairs).
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge set, a driver-controlled loop of joins — connected components
+    is iterative by nature, so the driver loop IS the idiomatic Spark
+    shape (cf. GraphX/GraphFrames CC). Each round: every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (most
+    are cliques from a shared LSH bucket), so 2-3 rounds in practice.
+    For adversarially long path-shaped components the alternating
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") bounds rounds at O(log n) with the same
+    join primitives. Per round: one shuffle join (edges ⋈ labels on the
+    shuffle-friendly src key) + one groupBy min + one label join;
+    ``localCheckpoint`` truncates the lineage so plan size stays
+    constant across rounds. Convergence check = one count per round
+    (driver-sized scalar, the canonical iterate-until-fixpoint guard).
+
+    The DuckDB oracle (``cluster_pairs_sql``) computes the same
+    components with a recursive CTE — a completely different algorithm
+    (transitive closure by reachability), hash-matched, which is the
+    strongest equivalence evidence an iterative operator can get.
+    """
+    nodes = docs.select(F.col(id_col))
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), on="id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def cluster_pairs_sql(
+    pairs_cte: str,
+    src: str = "documents",
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> str:
+    """Recursive-CTE oracle: min reachable id per node. ``pairs_cte`` is
+    any SQL producing (a_col, b_col) pairs — e.g. minhash_pairs_sql."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_cte}),
+edges AS (
+  SELECT {a_col} AS src, {b_col} AS dst FROM pairs
+  UNION
+  SELECT {b_col} AS src, {a_col} AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT {id_col}, {id_col} FROM {src}
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+)
+SELECT id AS {id_col}, min(r) AS cluster_id, min(r) = id AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 

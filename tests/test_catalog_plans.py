@@ -31,3 +31,14 @@ def test_no_scale_killer_nodes(spark, sf_dir, name):
     if name not in CROSS_PRODUCT_OK:
         assert "CartesianProduct" not in plan, f"{name}: cross product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    # Nullable computed INNER-join keys make Catalyst push an
+    # isnotnull(key) filter below the projection, re-inlining the whole
+    # (interpreted, HOF) expression per row — the similarity_ivf 3.7×
+    # regression (BENCH.md §8). Flag any filter that re-evaluates a
+    # higher-order function.
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith(("Filter", "+- Filter", ":- Filter")) and "isnotnull" in s:
+            assert not any(h in s for h in ("aggregate(", "zip_with(", "transform(")), (
+                f"{name}: isnotnull pushdown re-evaluates a HOF expression: {s[:200]}"
+            )
