@@ -53,8 +53,10 @@ from log_formatter_spark.pipeline import (
     parsed_enriched_routed,
 )
 from log_formatter_spark.transcripts import (
+    ASSEMBLE_CONVERSATIONS_SQL,
     TRANSCRIPT_PATTERN,
     TRANSCRIPTS_SQL,
+    assemble_conversations,
     transcripts_from_events,
 )
 
@@ -500,6 +502,9 @@ def queries() -> dict[str, QueryFn]:
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
             transcripts_from_events(s, d)
         ),
+        "conversation_assembly": lambda s, d: assemble_conversations(
+            transcripts_from_events(s, d)
+        ),
         "distinct_convs_hourly": _distinct_convs_hourly,
         "dataset_split": _dataset_split,
         # text analysis
@@ -509,6 +514,8 @@ def queries() -> dict[str, QueryFn]:
         "lang_id_ngram": lambda s, d: T.lang_id_ngram(_docs(s, d)),
         "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
         "doc_winnow": lambda s, d: sh.winnow(_docs(s, d), n=3, w=4),
+        "winnow_pairs": lambda s, d: sh.winnow_pairs(_docs(s, d), n=3, w=4, min_shared=2),
+        "repetition_score": lambda s, d: sh.repetition_score(_docs(s, d), n=3),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
@@ -630,6 +637,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": T.lang_id_ngram_sql(),
         "doc_fingerprint": sh.fingerprint_sql(n=5),
         "doc_winnow": sh.winnow_sql(n=3, w=4),
+        "winnow_pairs": sh.winnow_pairs_sql(n=3, w=4, min_shared=2),
+        "repetition_score": sh.repetition_score_sql(n=3),
+        "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),

@@ -163,6 +163,88 @@ SELECT DISTINCT {id_col}, fp FROM (
 """
 
 
+def winnow_pairs(
+    df: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared-run near-dup pairs by winnow-fingerprint blocking: two
+    docs pair iff they share ≥ ``min_shared`` selected fingerprints.
+
+    By the winnowing guarantee, any shared token run of length
+    ≥ w + n - 1 forces a shared fingerprint — so this detects verbatim
+    passage reuse (the "substring duplication" regime of training-data
+    dedup, cf. exact-substring dedup over suffix arrays) with an
+    inverted-index join on the ~2/(w+1)-density fingerprint table, not
+    on raw shingles. Same plan family as ngram_jaccard_pairs but over a
+    sequence-aware, pre-thinned key set."""
+    fp = winnow(df, n=n, w=w, text_col=text_col, id_col=id_col)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_pairs_sql(
+    src: str = "documents",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+WITH fp AS ({winnow_sql(src, n=n, w=w, text_col=text_col, id_col=id_col)})
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp
+WHERE a.{id_col} < b.{id_col}
+GROUP BY a.{id_col}, b.{id_col}
+HAVING count(*) >= {min_shared}
+"""
+
+
+def repetition_score(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: fraction of n-gram occurrences that
+    are repeats (1 - distinct/total shingles) — the Gopher-style
+    quality signal that catches boilerplate loops and degenerate
+    generations. One grouped aggregation over the positional shingle
+    table; the division is a single IEEE op on exact integer counts, so
+    the oracle hash-matches."""
+    pos = positional_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    return pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("shingle").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rep_ratio"),
+    )
+
+
+def repetition_score_sql(
+    src: str = "documents", n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+SELECT {id_col}, count(*) AS n_shingles,
+       count(DISTINCT shingle) AS n_distinct,
+       1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
+FROM ({positional_shingles_sql(src, n=n, text_col=text_col, id_col=id_col)})
+GROUP BY {id_col}
+"""
+
+
 def fingerprint(
     df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
