@@ -555,6 +555,7 @@ def queries() -> dict[str, QueryFn]:
             _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
         ),
         "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
+        "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
         # Arrow-batched decode through mapInPandas, exploded to scalar
@@ -657,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
+        "label_centroids": similarity.label_centroids_sql(),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),
         "multimodal_frames": multimodal.frame_sample_sql(),

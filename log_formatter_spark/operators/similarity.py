@@ -166,6 +166,57 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding — the class-centroid primitive (seed for
+    IVF cell training, label-quality audits, nearest-class-mean
+    classification). Output is the exploded (label, dim, mean) shape:
+    hashable by the driver, and the narrow (label, dim) key is also the
+    right 100 TB layout — a 10^10-vector corpus reduces to
+    |labels|×dims rows through ONE map-side-combinable aggregation
+    (posexplode → groupBy(label, dim)), never collecting arrays.
+
+    Determinism: components accumulate in FIXED POINT — floor(v·2^20)
+    — because every alternative fails cross-engine: float sums are
+    order-dependent under shuffle, and decimal casts of arbitrary
+    float32s sit near scaled-rounding boundaries that the two engines
+    resolve differently. Power-of-two scaling is EXACT double
+    arithmetic, floor is exact, integer sums are order-free, and the
+    final mean is two IEEE ops — bit-identical everywhere, with a
+    bounded 2^-20 ≈ 1e-6 quantization (document-scale noise, far below
+    float32 embedding precision in [-1, 1]).
+    """
+    scale = float(1 << 20)
+    dims = emb.select(
+        F.col("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    q = F.floor(F.col("v").cast("double") * F.lit(scale)).cast("long")
+    return dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(scale))
+        ).alias("mean"),
+    )
+
+
+def label_centroids_sql(src: str = "embeddings", vec_col: str = "embedding") -> str:
+    scale = float(1 << 20)
+    return f"""
+SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * {scale!r}) AS BIGINT)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {scale!r}) AS mean
+FROM (
+  SELECT label, c.i AS i, {vec_col}[c.i] AS v
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(1, len({vec_col}))) AS i) c
+)
+GROUP BY label, i
+"""
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
