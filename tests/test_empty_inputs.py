@@ -64,6 +64,8 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: T.token_count(d),
         lambda d: sh.fingerprint(d, n=5),
         lambda d: sh.winnow(d, n=3, w=4),
+        lambda d: sh.winnow_pairs(d, n=3, w=4),
+        lambda d: sh.repetition_score(d, n=3),
         lambda d: multimodal.decode_features_exploded(multimodal.attach_payload(d)),
         lambda d: multimodal.frame_sample(multimodal.attach_payload(d)),
         lambda d: multimodal.resize_pooled(multimodal.attach_payload(d)),
@@ -81,6 +83,7 @@ def test_doc_operators_on_empty_input(spark, empty_docs, build):
         lambda e: similarity.brute_topk(e, k=5),
         lambda e: similarity.lsh_topk(e, k=5),  # empty anchor collect
         lambda e: similarity.ivf_topk(e, k=5),  # empty centroid collect
+        lambda e: similarity.label_centroids(e),
     ],
 )
 def test_embedding_operators_on_empty_input(spark, empty_emb, build):
@@ -89,6 +92,12 @@ def test_embedding_operators_on_empty_input(spark, empty_emb, build):
 
 def test_sessions_on_empty_input(spark, empty_transcripts):
     assert sessions.conversation_sessions(empty_transcripts).count() == 0
+
+
+def test_assembly_on_empty_input(spark, empty_transcripts):
+    from log_formatter_spark.transcripts import assemble_conversations
+
+    assert assemble_conversations(empty_transcripts).count() == 0
 
 
 def test_asof_kmv_on_empty_input(spark, sf_dir):
