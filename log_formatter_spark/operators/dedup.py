@@ -526,6 +526,13 @@ def cluster_pairs(
     components with a recursive CTE — a completely different algorithm
     (transitive closure by reachability), hash-matched, which is the
     strongest equivalence evidence an iterative operator can get.
+
+    Storage hygiene: each round's superseded label checkpoint is
+    released by Spark's ContextCleaner as soon as the loop rebinds
+    ``labels`` (no live reference remains); only the edges checkpoint
+    (loop-lived) and the final labels checkpoint (backs the returned
+    plan — the caller's handoff) persist, so repeated contract runs
+    don't accumulate blocks the way round 1's un-released persists did.
     """
     nodes = docs.select(F.col(id_col))
     edges = pairs.select(
@@ -655,7 +662,7 @@ def embedding_dup_pairs_lsh(
     if n_bits is None:
         # auto-size the bucket code to the corpus: verify work per band
         # is ~n²/2^bits, so hold mean bucket occupancy near the target.
-        # Measured at 10× driver scale (BENCH.md §6): fixed 3 bits cost
+        # Measured at 10× driver scale (BENCH.md §5a): fixed 3 bits cost
         # 97 s where auto-sized buckets cost ~4 s, identical plan shape.
         # One count() job up front — driver-sized result, and at cluster
         # scale the table's row count is metadata (Iceberg snapshot).
