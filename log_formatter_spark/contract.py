@@ -548,6 +548,12 @@ def queries() -> dict[str, QueryFn]:
         ),
         # composite corpus cleaning (quality + dedup + lang + token bounds)
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
+        "split_contamination": lambda s, d: corpus.split_contamination(
+            _docs(s, d),
+            dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5),
+            _dataset_split(s, d),
+        ),
+        "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
         # n_anchors pinned (not auto-sized) for the static SQL oracle
@@ -655,6 +661,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
         "corpus_filter": corpus.corpus_filter_sql(),
+        "split_contamination": corpus.split_contamination_sql(
+            dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL
+        ),
+        "source_profile": corpus.source_profile_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),

@@ -117,3 +117,100 @@ SELECT {id_col}, reason = 'kept' AS keep, reason, quality_score, lang_pred,
        n_bpe_tokens
 FROM decided
 """
+
+
+# --- split contamination + source profile ---------------------------------
+
+
+def split_contamination(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination audit: near-dup pairs that CROSS the
+    dataset split — the eval-integrity check every training pipeline
+    needs (a test doc near-duplicating a train doc silently inflates
+    eval scores). ``pairs`` is any pair-emitting dedup output;
+    ``splits`` is the deterministic hash split (contract._dataset_split
+    shape: id, split).
+
+    Plan: two equality joins of the (tiny relative to the corpus) pair
+    table against the split assignment — the split side is a map-only
+    projection of the doc scan, so at scale both joins broadcast the
+    pair table or hash-join on ids; never a corpus×corpus product.
+    Output keeps only cross-split pairs, labeled (train_doc, eval_doc).
+    """
+    sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+            F.when(F.col("split_a") == "train", F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+            F.when(F.col("split_a") == "train", F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+        )
+        .where(F.col("train_doc").isNotNull())
+    )
+
+
+def split_contamination_sql(pairs_cte: str, splits_cte: str) -> str:
+    return f"""
+WITH pairs AS ({pairs_cte}),
+splits AS ({splits_cte}),
+crossed AS (
+  SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+  FROM pairs p
+  JOIN splits a ON p.doc_a = a.doc_id
+  JOIN splits b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+       CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+       CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split
+FROM crossed
+WHERE (CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END) IS NOT NULL
+"""
+
+
+def source_profile(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(source, predicted-language) corpus profile: doc counts and
+    exact integer size totals — the monitoring rollup a corpus pipeline
+    publishes per ingest source. Integer-only aggregates (counts,
+    char/token sums) keep the result bit-exact across engines with no
+    decimal gymnastics; one map-side-combinable aggregation."""
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        *[
+            _stop_hits(toks, LANG_STOPWORDS[lang]).alias(f"_h_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    scores = {lang: F.col(f"_h_{lang}") / F.col("n_tokens") for lang in _LANG_ORDER}
+    return (
+        base.select(
+            "source", lang_pred_expr(scores).alias("lang_pred"), "n_chars", "n_tokens"
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def source_profile_sql(src: str = "documents") -> str:
+    return f"""
+WITH langs AS ({lang_id_sql(src)})
+SELECT d.source, l.lang_pred, count(*) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(string_split(lower(d.text), ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM {src} d JOIN langs l ON d.doc_id = l.doc_id
+GROUP BY d.source, l.lang_pred
+"""
