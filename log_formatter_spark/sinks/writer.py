@@ -153,3 +153,40 @@ def register_sink(name: str, fn: SinkFn) -> None:
     """Plugin hook (replaces the reference's .so output loader,
     agent/output/output.go:74-92)."""
     SINKS[name] = fn
+
+
+# --- bucketed tables (co-located joins) -----------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows hash-partitioned into
+    ``n_buckets`` files by ``bucket_cols`` at write time (optionally
+    sorted within buckets).
+
+    This is the pre-shuffle-once pattern for 100 TB: two tables bucketed
+    the same way join WITHOUT any runtime Exchange — the scan itself
+    satisfies the join's hash-distribution requirement, so a nightly
+    conv_id-bucketed transcript table joins per-conversation aggregates,
+    session tables and enrichment outputs shuffle-free forever after
+    (tests/test_bucketed.py pins the exchange-free plan). In-bucket
+    sorting additionally removes the SortMergeJoin's per-task sort.
+
+    Bucketing requires the table catalog (file metadata alone cannot
+    carry the bucket spec), hence ``saveAsTable``; with ``path`` the
+    table is external, so the data lives wherever the lake wants it.
+    The Iceberg analogue is a bucket(n, col) partition transform on the
+    same seam (SPARK_GRAFT_TABLE_FORMAT, see write_routed).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
