@@ -88,17 +88,20 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 def minhash_signatures(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """16 min-hash values per doc, two independent 60-bit values per MD5.
+    """16 min-hash values per doc, three independent 40-bit values per MD5.
 
-    An MD5 digest is 128 bits but the cross-engine integer parse only
-    ever used 60 of them; permutations 2k and 2k+1 now come from
-    disjoint 15-hex-digit halves of the SAME salted digest (chars 1–15
-    and 16–30), so 16 independent permutations cost 8 MD5s instead of
-    16; combined with the distinct-skip below, the pairs query drops
-    7.2 s → 4.7 s (min of 3) at sf0.1 with unchanged sketch quality. (A cheaper h1 + i·h2 affine family was
-    tried and rejected: its permutations are correlated — one shingle
-    minimizing both bases dominates every i, inflating est_jaccard for
-    pairs that share just that shingle.)
+    An MD5 digest is 128 bits; permutations 3k..3k+2 come from disjoint
+    10-hex-digit (40-bit) slices of the SAME salted digest, so 16
+    independent permutations cost 6 MD5s instead of 16. The digest work
+    is the dominant cost of the whole minhash family (signatures alone
+    are ~85% of the pairs query); round 2 went 16→8 MD5s with 60-bit
+    halves (pairs 7.2 s → 4.7 s min-of-3 at sf0.1), round 2b goes 8→6
+    with 40-bit thirds. 40-bit min-hash values leave collision
+    probability per (pair, permutation) at ~2^-40 — no measurable
+    est_jaccard effect at any corpus size. (A cheaper h1 + i·h2 affine
+    family was tried and rejected: its permutations are correlated —
+    one shingle minimizing both bases dominates every i, inflating
+    est_jaccard for pairs that share just that shingle.)
 
     One grouped aggregation with 16 ``min`` columns — order-independent,
     map-side combinable; the shuffle carries (doc_id, 16 longs).
@@ -106,21 +109,22 @@ def minhash_signatures(
     # distinct=False: min is duplicate-idempotent, so the shingle-dedup
     # shuffle is pure waste here — the only exchange left is the groupBy,
     # which moves map-side-combined (id, 16 longs) partials
+    n_digests = (N_PERM + 2) // 3
     sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col, distinct=False)
     digests = sh.select(
         F.col(id_col),
         *[
             F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))).alias(f"m{k}")
-            for k in range(N_PERM // 2)
+            for k in range(n_digests)
         ],
     )
 
-    def _chunk(k: int, half: int) -> Column:
-        return F.conv(F.substring(F.col(f"m{k}"), 1 + 15 * half, 15), 16, 10).cast(
+    def _chunk(k: int, third: int) -> Column:
+        return F.conv(F.substring(F.col(f"m{k}"), 1 + 10 * third, 10), 16, 10).cast(
             "long"
         )
 
-    aggs = [F.min(_chunk(i // 2, i % 2)).alias(f"mh{i}") for i in range(N_PERM)]
+    aggs = [F.min(_chunk(i // 3, i % 3)).alias(f"mh{i}") for i in range(N_PERM)]
     return digests.groupBy(id_col).agg(*aggs)
 
 
@@ -198,12 +202,12 @@ def minhash_pairs(
 
 
 def _salted_min_sql() -> str:
-    """DuckDB rendering: same two-halves-per-digest family as Spark."""
+    """DuckDB rendering: same three-thirds-per-digest family as Spark."""
 
     def _chunk(i: int) -> str:
-        k, half = i // 2, i % 2
+        k, third = i // 3, i % 3
         return (
-            f"CAST(('0x' || substr(md5('{k}|' || shingle), {1 + 15 * half}, 15)) AS BIGINT)"
+            f"CAST(('0x' || substr(md5('{k}|' || shingle), {1 + 10 * third}, 10)) AS BIGINT)"
         )
 
     return ",\n       ".join(f"min({_chunk(i)}) AS mh{i}" for i in range(N_PERM))
