@@ -428,6 +428,35 @@ FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.
 """
 
 
+def _turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-to-turn response latency (lag over the conversation window):
+    for every turn, who spoke before and how long they took to be
+    answered — the ops query behind per-role latency dashboards.
+    Integer-microsecond subtraction keeps both engines bit-identical;
+    first turns get null prev/latency (lag's frame start)."""
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        (us - F.lag(us).over(w)).alias("latency_us"),
+    )
+
+
+_TURN_LATENCY_SQL = """
+SELECT conv_id, turn_idx, role,
+       lag(role) OVER w AS prev_role,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS latency_us
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
 def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sketch.kmv_distinct(ev, "event_type", "user_id", k=64)
@@ -450,6 +479,7 @@ def queries() -> dict[str, QueryFn]:
         "enrich_join": _enrich_join,
         "route_split": _route_split,
         "window_ordering": _window_ordering,
+        "turn_latency": _turn_latency,
         "skew_salted_agg": _skew_salted_agg,
         "filter_project": _filter_project,
         "filter_exclude": _filter_exclude,
@@ -601,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "window_ordering": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, CAST(row_number() OVER (PARTITION BY conv_id"
         " ORDER BY turn_idx) AS INTEGER) AS turn_order FROM transcripts",
+        "turn_latency": TRANSCRIPT_CTES + _TURN_LATENCY_SQL,
         "skew_salted_agg": TRANSCRIPT_CTES
         + "SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id",
         "filter_project": TRANSCRIPT_CTES
