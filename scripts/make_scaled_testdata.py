@@ -79,6 +79,7 @@ def main() -> None:
                     F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
                     lambda x, s: x * s,
                 ).alias("embedding"),
+                "label",
             )
         )
     scaled_emb = emb_parts[0]
