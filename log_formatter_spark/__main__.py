@@ -3,13 +3,19 @@
 
     python -m log_formatter_spark -c pipeline.yml [--streaming] \
         [--out DIR] [--checkpoint DIR]
+    python -m log_formatter_spark --query NAME --sf-dir DIR [--out DIR]
+    python -m log_formatter_spark --list-queries
 
 Batch mode plans and drives the configured input→formatters→output DAG
 (plans/planner.py). Streaming mode runs the checkpoint-resumable
 foreachBatch flagship over the configured source directory — the
 graceful-stop + resume answer to the reference's drain-with-timeout
-shutdown (agent/manager.go:81-88). Designed to be launched with
-``spark-submit --py-files`` on a cluster; see scripts/submit.sh.
+shutdown (agent/manager.go:81-88). ``--query`` runs any named catalog
+operator (contract.queries()) over an sf-style parquet dir — every
+operator in SURVEY §8 is reachable from the CLI, written to parquet
+with ``--out`` or shown on the console otherwise. Designed to be
+launched with ``spark-submit --py-files`` on a cluster; see
+scripts/submit.sh.
 """
 
 from __future__ import annotations
@@ -20,15 +26,41 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="log_formatter_spark")
-    ap.add_argument("-c", "--config", required=True, help="YAML pipeline spec")
+    ap.add_argument("-c", "--config", help="YAML pipeline spec")
     ap.add_argument("--streaming", action="store_true")
-    ap.add_argument("--out", help="output dir (streaming mode)")
+    ap.add_argument("--out", help="output dir (streaming / --query mode)")
     ap.add_argument("--checkpoint", help="checkpoint dir (streaming mode)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--query", help="run a named catalog query instead of a config")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table dir for --query mode")
+    ap.add_argument("--list-queries", action="store_true")
     args = ap.parse_args(argv)
 
-    from log_formatter_spark import get_spark
+    from log_formatter_spark import contract, get_spark
     from log_formatter_spark.plans import load_config, run_batch
+
+    if args.list_queries:
+        for name in sorted(contract.queries()):
+            print(name)
+        return 0
+    if args.query:
+        qs = contract.queries()
+        if args.query not in qs:
+            ap.error(f"unknown query {args.query!r} (see --list-queries)")
+        spark = get_spark("log-formatter-spark", cores=args.cores)
+        try:
+            df = qs[args.query](spark, args.sf_dir)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(f"{args.query}: wrote {args.out}")
+            else:
+                df.show(20, truncate=False)
+            return 0
+        finally:
+            spark.stop()
+    if not args.config:
+        ap.error("one of -c/--config, --query or --list-queries is required")
 
     cfg = load_config(args.config)
     spark = get_spark("log-formatter-spark", cores=args.cores)
