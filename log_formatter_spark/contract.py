@@ -512,6 +512,7 @@ def queries() -> dict[str, QueryFn]:
             s.read.parquet(f"{d}/events.parquet")
         ),
         "vocab_topk": lambda s, d: olap.vocab_topk(_docs(s, d)),
+        "distinctive_terms": lambda s, d: olap.distinctive_terms(_docs(s, d)),
         # relational OLAP over the warehouse tables
         "pricing_summary": lambda s, d: analytics.pricing_summary(
             s.read.parquet(f"{d}/lineitem.parquet")
@@ -666,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": olap.events_pivot_sql(),
         "value_quantiles": olap.value_quantiles_sql(),
         "vocab_topk": olap.vocab_topk_sql(),
+        "distinctive_terms": olap.distinctive_terms_sql(),
         "pricing_summary": analytics.pricing_summary_sql(),
         "segment_top_orders": analytics.segment_top_orders_sql(),
         "regional_revenue": analytics.regional_revenue_sql(),

@@ -195,6 +195,65 @@ GROUP BY token ORDER BY df DESC, token LIMIT {k}
 """
 
 
+def distinctive_terms(docs: DataFrame, k: int = 3, min_df: int = 1) -> DataFrame:
+    """Per-document distinctive terms: top-k tokens by tf/df ratio — the
+    tf-idf-style keyword extraction, made cross-engine-exact by ranking
+    on ONE IEEE division of exact integer counts (a log-idf weighting
+    would hang determinism on libm's ln, which differs by ulps between
+    engines; tf/df preserves the same per-document ranking for any
+    monotone idf).
+
+    Plan: token explode → (doc, token) tf counts → token df counts
+    (map-side combinable, reusing the same exchange family) → join tf
+    with df (token-keyed; df table is vocabulary-sized, broadcastable
+    at any corpus scale) → per-doc top-k window.
+    """
+    from log_formatter_spark.functions.text import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = tf.join(F.broadcast(df_), on="token").select(
+        "doc_id", "token", "tf", "df",
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+def distinctive_terms_sql(src: str = "documents", k: int = 3, min_df: int = 1) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM {src}
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (
+  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok)
+  GROUP BY token HAVING count(*) >= {min_df}
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def events_pivot(ev: DataFrame) -> DataFrame:
     """Pivot event_type → columns of per-hour-of-day counts. The pivot
     value list is pinned (EVENT_TYPES) so the plan is static — Spark
