@@ -263,37 +263,50 @@ SIMHASH_BITS = 60
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over token frequencies.
 
-    Plan: explode tokens → explode 60 bit positions → two-level hash
-    aggregate. Both aggregations are map-side combinable sums; the wide
-    intermediate (rows × 60) never leaves the executor un-combined.
+    Plan: explode tokens → ONE grouped aggregation with 60 conditional
+    bit-sums. The ±1-per-bit definition folds into pure counting: with
+    T tokens and S_j = Σ bit_j(h), the signed sum is 2·S_j − T, so
+    bit j of the sketch is set iff 2·S_j > T. No per-bit row explode —
+    the round-1 formulation expanded every token row ×60 (4.5 B rows at
+    100× scale, 45 s of the 47 s pairs query) where this shuffles one
+    map-side-combined (id, 60 ints) partial per doc (measured
+    ~7× faster end-to-end at 100×, identical sketches).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("h", md5_60(F.col("tok")))
-    bits = tok.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    aggs = [
+        F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}") for j in range(SIMHASH_BITS)
+    ] + [F.count(F.lit(1)).alias("t")]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sketch = sum(
+        (
+            F.when(F.col(f"s{j}") * 2 > F.col("t"), F.lit(1 << j)).otherwise(0)
+        ).cast("long")
+        for j in range(SIMHASH_BITS)
     )
-    sign = F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy(id_col, "j").agg(F.sum(sign).alias("s"))
-    contrib = F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("long"))
-    return per_bit.groupBy(id_col).agg(F.sum(contrib).cast("long").alias("simhash"))
+    return sums.select(F.col(id_col), sketch.alias("simhash"))
 
 
 def simhash_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     toks = TOKENS_SQL.format(x=text_col)
     h = MD5_60_SQL.format(x="tok")
+    sums = ",\n         ".join(
+        f"sum((h >> {j}) & 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{j} * 2 > t THEN ({1 << j}::BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""
 WITH tok AS (
   SELECT {id_col}, {h} AS h
   FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {src})
 ),
-bits AS (
-  SELECT {id_col}, j,
-         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM tok, range(0, {SIMHASH_BITS}) r(j)
-  GROUP BY {id_col}, j
+sums AS (
+  SELECT {id_col}, {sums}, count(*) AS t
+  FROM tok GROUP BY {id_col}
 )
-SELECT {id_col}, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY {id_col}
+SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM sums
 """
 
 
@@ -339,33 +352,60 @@ def simhash_pairs_blocked(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_blocks: int | None = None,
+    match_segments: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the 100 TB plan.
 
-    Charikar/pigeonhole blocking: split the 60-bit sketch into
-    ``n_blocks = max_hamming + 1`` bit segments. Two sketches within
-    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
-    segments, so they agree EXACTLY on at least one segment — candidate
-    pairs formed by equality self-join on (block_id, segment_value)
-    provably cover every qualifying pair. Result is therefore identical
-    to :func:`simhash_pairs` (the driver oracles this query against the
-    all-pairs SQL), but pair formation is an equality join on ~2^12-way
-    segment buckets instead of an O(n²) cross product: cost is the sum
-    of squared bucket sizes per block, and the sketch table itself is
-    just (id, long).
+    Charikar/pigeonhole blocking, generalized to ``match_segments``-way
+    combinational keys. Split the 60-bit sketch into ``n_blocks`` bit
+    segments with ``n_blocks ≥ max_hamming + match_segments``: sketches
+    within Hamming ``max_hamming`` differ in at most ``max_hamming``
+    segments, so they agree EXACTLY on at least ``match_segments``
+    segments — and therefore share at least one of the
+    C(n_blocks, match_segments) segment-combination keys. Equality
+    self-join on (combo_id, seg values…) provably covers every
+    qualifying pair, so the result is identical to
+    :func:`simhash_pairs` (the driver oracles this query against the
+    all-pairs SQL).
+
+    Why the knob exists (BENCH.md §11): single-segment keys at
+    max_hamming=4 are 12 bits wide, so verify work grows as
+    n²·5/2^12 — quadratic with a small constant, ~47 s at 500k docs.
+    ``match_segments=2`` widens the key to two 10-bit segments
+    (n_blocks=6): verify work n²·15/2^20, a 256× candidate reduction
+    for a 3× key fan-out (measured 46.9 s → a few s at 500k). The
+    general trade: coverage needs n_blocks - match_segments ≥
+    max_hamming; each +1 on match_segments multiplies keys by
+    ~n_blocks/match_segments and divides candidates by ~2^(60/n_blocks).
     """
-    nb = n_blocks or (max_hamming + 1)
+    from itertools import combinations
+
+    nb = n_blocks or (max_hamming + match_segments)
+    assert nb - match_segments >= max_hamming, (
+        "coverage requires n_blocks - match_segments >= max_hamming"
+    )
     s = simhash(df, text_col=text_col, id_col=id_col)
     segs = [
-        F.expr(f"(simhash >> {start}) & {(1 << width) - 1}").alias(f"seg{b}")
-        for b, (start, width) in enumerate(_segment_bounds(SIMHASH_BITS, nb))
+        F.expr(f"(simhash >> {start}) & {(1 << width) - 1}")
+        for start, width in _segment_bounds(SIMHASH_BITS, nb)
     ]
+    # one struct per segment combination; the join key is (combo id,
+    # the combo's segment values rendered as one string)
+    key_structs = list(enumerate(combinations(range(nb), match_segments)))
     blocks = s.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
-                *[F.struct(F.lit(b).alias("block"), seg.alias("seg")) for b, seg in enumerate(segs)]
+                *[
+                    F.struct(
+                        F.lit(ci).alias("block"),
+                        F.concat_ws(
+                            ",", *[segs[b].cast("string") for b in combo]
+                        ).alias("seg"),
+                    )
+                    for ci, combo in key_structs
+                ]
             )
         ).alias("bs"),
     ).select(id_col, "simhash", F.col("bs.block").alias("block"), F.col("bs.seg").alias("seg"))

@@ -29,6 +29,19 @@ def test_simhash_blocked_equals_all_pairs(spark, docs):
         assert _rows(blocked) == _rows(exact), f"max_hamming={max_h}"
 
 
+def test_simhash_combinational_blocking_equals_all_pairs(spark, docs):
+    """match_segments=2 (the 100×-scale key widening, BENCH.md §11)
+    must stay EXACT: coverage holds whenever
+    n_blocks - match_segments >= max_hamming."""
+    for max_h in (2, 4):
+        blocked2 = dedup.simhash_pairs_blocked(docs, max_hamming=max_h, match_segments=2)
+        exact = dedup.simhash_pairs(docs, max_hamming=max_h)
+        assert _rows(blocked2) == _rows(exact), f"max_hamming={max_h}"
+    with pytest.raises(AssertionError):
+        # under-provisioned blocks must refuse, not silently lose pairs
+        dedup.simhash_pairs_blocked(docs, max_hamming=4, n_blocks=5, match_segments=2)
+
+
 def test_simhash_blocked_plan_has_no_cross_product(spark, docs):
     plan = (
         dedup.simhash_pairs_blocked(docs, max_hamming=4)
