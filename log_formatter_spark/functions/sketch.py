@@ -43,8 +43,15 @@ def kmv_distinct(
     Output: (group_col, est_distinct double, is_exact boolean) —
     ``is_exact`` marks groups below k where the estimate IS the count.
     """
+    # NULL values don't count toward distinct cardinality (matching
+    # count(DISTINCT v)) — and a NULL hash would rank nulls-first in
+    # Spark but nulls-last in DuckDB, shifting the order statistic
     h = md5_60(F.concat(F.col(value_col).cast("string"), F.lit(":kmv")))
-    per = df.select(F.col(group_col), h.alias("h")).distinct()
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col), h.alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("h")
     cw = Window.partitionBy(group_col)
     ranked = per.select(
@@ -78,7 +85,8 @@ def kmv_distinct_sql(
     h = MD5_60_SQL.format(x=f"(CAST({value_col} AS VARCHAR) || ':kmv')")
     numer = float((k - 1) << 60)
     return f"""
-WITH per AS (SELECT DISTINCT {group_col}, {h} AS h FROM {src}),
+WITH per AS (SELECT DISTINCT {group_col}, {h} AS h FROM {src}
+             WHERE {value_col} IS NOT NULL),
 ranked AS (
   SELECT {group_col}, h,
          row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn,

@@ -66,7 +66,15 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, ts_col)]
     carried = [ts_col] + [c for c in value_cols if c != ts_col]
+    if tiebreak_col is not None and tiebreak_col not in carried:
+        carried.append(tiebreak_col)
     payload = "lfs_asof_row_"
+
+    # A right row with NULL ts can never satisfy "at or before" —
+    # Spark's nulls-first ascending sort would otherwise place it ahead
+    # of everything and last(ignorenulls) would hand it to every
+    # unmatched left row (DuckDB's ASOF JOIN never matches NULL ts).
+    right = right.where(F.col(ts_col).isNotNull())
 
     # All right columns travel as ONE struct: last(..., ignorenulls) then
     # skips left rows (null struct) but never skips a right row whose

@@ -143,16 +143,18 @@ def split_contamination(
     """
     sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("split_b"))
+    # contamination = a TRAIN doc near-duplicating an eval doc; exactly
+    # one side must be 'train' (a val↔test pair is a split-design
+    # question, not training contamination — excluded, not mislabeled)
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(F.col("split_a") != F.col("split_b"))
+        .where((F.col("split_a") == "train") != (F.col("split_b") == "train"))
         .select(
             F.when(F.col("split_a") == "train", F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
             F.when(F.col("split_a") == "train", F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
             F.when(F.col("split_a") == "train", F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
         )
-        .where(F.col("train_doc").isNotNull())
     )
 
 
@@ -165,13 +167,12 @@ crossed AS (
   FROM pairs p
   JOIN splits a ON p.doc_a = a.doc_id
   JOIN splits b ON p.doc_b = b.doc_id
-  WHERE a.split <> b.split
+  WHERE (a.split = 'train') <> (b.split = 'train')
 )
 SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
        CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
        CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split
 FROM crossed
-WHERE (CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END) IS NOT NULL
 """
 
 

@@ -704,16 +704,14 @@ def embedding_dup_pairs_lsh(
 
     u = with_unit(emb, id_col, vec_col)
     if n_bits is None:
-        # auto-size the bucket code to the corpus: verify work per band
-        # is ~n²/2^bits, so hold mean bucket occupancy near the target.
-        # Measured at 10× driver scale (BENCH.md §5a): fixed 3 bits cost
-        # 97 s where auto-sized buckets cost ~4 s, identical plan shape.
+        # auto-size the bucket code to the corpus (similarity.auto_bits,
+        # the single source of the BENCH.md §5a scaling law: fixed 3
+        # bits cost 97 s at 10× where auto-sized buckets cost ~4 s).
         # One count() job up front — driver-sized result, and at cluster
         # scale the table's row count is metadata (Iceberg snapshot).
-        import math
+        from log_formatter_spark.operators.similarity import auto_bits
 
-        n = emb.count()
-        n_bits = max(3, min(16, math.ceil(math.log2(max(n, 2) / EMBED_LSH_TARGET_BUCKET))))
+        n_bits = auto_bits(emb.count(), EMBED_LSH_TARGET_BUCKET)
     anchors = anchor_units(u, n_bits * n_bands, id_col=id_col)
     band_structs = []
     for j in range(n_bands):
@@ -757,7 +755,10 @@ def embedding_dup_pairs_lsh_sql(
     na = n_bits * n_bands
     return f"""
 WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
-anchors AS (SELECT {id_col} AS a_id, uv AS au FROM u WHERE {id_col} < {na}),
+anchors AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS a_id, uv AS au
+  FROM u ORDER BY {id_col} LIMIT {na}
+),
 banded AS (
   SELECT v.{id_col} AS id, CAST(a.a_id // {n_bits} AS INTEGER) AS band,
          CAST(sum(CASE WHEN {d} >= 0 THEN (1::BIGINT << (a.a_id % {n_bits})) ELSE 0 END) AS BIGINT) AS bucket

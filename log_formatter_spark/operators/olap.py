@@ -78,9 +78,14 @@ def purchasers_without_clicks(ev: DataFrame) -> DataFrame:
 
 
 def purchasers_without_clicks_sql(src: str = "events") -> str:
+    # NOT EXISTS, not NOT IN: a single NULL click user_id would make
+    # NOT IN return zero rows, where Spark's left_anti (null keys never
+    # match) keeps every purchaser — NOT EXISTS has the anti-join's
+    # null semantics in both engines
     return f"""
-SELECT DISTINCT user_id FROM {src} WHERE event_type = 'purchase'
-  AND user_id NOT IN (SELECT user_id FROM {src} WHERE event_type = 'click')
+SELECT DISTINCT user_id FROM {src} p WHERE event_type = 'purchase'
+  AND NOT EXISTS (SELECT 1 FROM {src} c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id)
 """
 
 
@@ -133,6 +138,9 @@ def value_quantiles(ev: DataFrame, qs: tuple[float, ...] = QUANTILES) -> DataFra
     sketch) is the production fallback, like HLL beside the KMV sketch
     — it just can't be cross-engine hash-verified, which this can.
     """
+    # NULL values are excluded (standard quantile semantics) — also a
+    # parity requirement: Spark ranks nulls first, DuckDB last
+    ev = ev.where(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     cw = Window.partitionBy("event_type")
     ranked = ev.select(
@@ -161,7 +169,7 @@ FROM (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM {src}
+  FROM {src} WHERE value IS NOT NULL
 )
 GROUP BY event_type
 """

@@ -78,18 +78,20 @@ SELECT q_id, neighbor_id, rank, cos FROM (
 def anchor_units(
     u: DataFrame, n_anchors: int, id_col: str = "vec_id"
 ) -> list[tuple[int, list[float]]]:
-    """Collect the unit vectors of the ``n_anchors`` lowest ids.
+    """Collect the unit vectors of the ``n_anchors`` lowest ids,
+    re-keyed to 0..n-1 anchor positions.
 
+    A genuine order-by/limit (NOT ``id < n_anchors``): id spaces that
+    don't start at 0 — filtered corpora, offset ingestion — must still
+    yield a full anchor set, or every anchor-based operator silently
+    degenerates (empty IVF results, single-bucket LSH = all-pairs).
     Driver-sized by construction (n_anchors rows); the values are the
     exact binary64 doubles Spark computed, so embedding them back as
     literals reproduces DuckDB's dot-sign decisions bit-for-bit."""
     rows = (
-        u.where(F.col(id_col) < n_anchors)
-        .select(id_col, "uv")
-        .orderBy(id_col)
-        .collect()
+        u.select(id_col, "uv").orderBy(id_col).limit(n_anchors).collect()
     )
-    return [(int(r[id_col]), list(r["uv"])) for r in rows]
+    return [(pos, list(r["uv"])) for pos, r in enumerate(rows)]
 
 
 def bucket_expr(anchors: list[tuple[int, list[float]]], bit_of: dict[int, int]):
@@ -122,6 +124,19 @@ def bucketed(
 TOPK_TARGET_BUCKET = 64
 
 
+def auto_bits(n: int, target_bucket: int = TOPK_TARGET_BUCKET) -> int:
+    """Bucket-code width for a corpus of ``n`` vectors: ⌈log₂(n/target)⌉
+    clamped to [3, 16]. Candidate work per band is ~n²/2^bits, so bits
+    must track log₂ n to hold mean bucket occupancy (and with it the
+    verify cost per vector) constant — the scaling law measured in
+    BENCH.md §5a (fixed 3 bits: 97.5 s at 10×; auto: 10.7 s). Single
+    source of truth for both ANN operators (lsh_topk and
+    dedup.embedding_dup_pairs_lsh)."""
+    import math
+
+    return max(3, min(16, math.ceil(math.log2(max(n, 2) / target_bucket))))
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 10,
@@ -144,10 +159,7 @@ def lsh_topk(
     scan each — cheaper than tying up executor storage memory across a
     full contract run (round-1 leak fix)."""
     if n_anchors is None:
-        import math
-
-        n = emb.count()
-        n_anchors = max(3, min(16, math.ceil(math.log2(max(n, 2) / TOPK_TARGET_BUCKET))))
+        n_anchors = auto_bits(emb.count())
     u = with_unit(emb, id_col, vec_col)
     b = bucketed(u, n_anchors=n_anchors, id_col=id_col)
     q = b.where(F.col(id_col) < n_queries).select(
@@ -333,7 +345,10 @@ def ivf_topk_sql(
     cos = dot_sql("q.qu", "n.cu")
     return f"""
 WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
-cents AS (SELECT {id_col} AS cid, uv AS cu FROM u WHERE {id_col} < {n_centroids}),
+cents AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, uv AS cu
+  FROM u ORDER BY {id_col} LIMIT {n_centroids}
+),
 dots AS (SELECT v.{id_col} AS id, v.uv, c.cid, {d} AS d FROM u v, cents c),
 assigned AS (
   SELECT id, uv, cid AS cell FROM (
@@ -369,11 +384,14 @@ def lsh_topk_sql(
     cos = dot_sql("q.qu", "c.cu")
     return f"""
 WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+anchors AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS a_id, uv
+  FROM u ORDER BY {id_col} LIMIT {n_anchors}
+),
 bucketed AS (
   SELECT v.{id_col}, v.uv,
-         CAST(sum(CASE WHEN {d} >= 0 THEN (1::BIGINT << a.{id_col}) ELSE 0 END) AS BIGINT) AS bucket
-  FROM u v, u a
-  WHERE a.{id_col} < {n_anchors}
+         CAST(sum(CASE WHEN {d} >= 0 THEN (1::BIGINT << a.a_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM u v, anchors a
   GROUP BY v.{id_col}, v.uv
 ),
 q AS (SELECT {id_col} AS q_id, uv AS qu, bucket FROM bucketed WHERE {id_col} < {n_queries}),

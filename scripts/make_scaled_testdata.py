@@ -43,26 +43,38 @@ def main() -> None:
     upper = string.ascii_uppercase
     digits = string.digits
 
+    def _union_write(parts, path, n_part):
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionAll(p)
+        d.repartition(n_part).write.mode("overwrite").parquet(path)
+
     docs = spark.read.parquet(f"{src}/documents.parquet")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     doc_parts = []
     for r in range(k):
-        rot = (
-            lower[r:] + lower[:r] + upper[r:] + upper[:r] + digits[r % 10:] + digits[: r % 10]
-        )
+        # Affine letter permutation i -> (a*i + r) mod 26 with a
+        # multiplier that changes every 26 replicas: a plain Caesar
+        # shift repeats with period 26, so at K > 26 digit-free docs
+        # became exact cross-replica duplicates (caught by the 100x
+        # sweep — a duplication-rate artifact, not scale). Affine maps
+        # with distinct (a, b) are distinct permutations, so letter
+        # transforms are unique for all r < 26 * len(mults).
+        a = (1, 3, 5, 7, 9)[r // 26 % 5]
+        b = r % 26
+        lrot = "".join(lower[(a * i + b) % 26] for i in range(26))
+        urot = "".join(upper[(a * i + b) % 26] for i in range(26))
+        drot = digits[r % 10:] + digits[: r % 10]
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
-                F.translate(F.col("text"), lower + upper + digits, rot).alias("text"),
+                F.translate(F.col("text"), lower + upper + digits, lrot + urot + drot).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
             )
         )
-    scaled_docs = doc_parts[0]
-    for p in doc_parts[1:]:
-        scaled_docs = scaled_docs.unionAll(p)
-    scaled_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    _union_write(doc_parts, f"{out}/documents.parquet", 32)
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
@@ -82,20 +94,14 @@ def main() -> None:
                 "label",
             )
         )
-    scaled_emb = emb_parts[0]
-    for p in emb_parts[1:]:
-        scaled_emb = scaled_emb.unionAll(p)
-    scaled_emb.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    _union_write(emb_parts, f"{out}/embeddings.parquet", 16)
 
     ev = spark.read.parquet(f"{src}/events.parquet")
     n_users = ev.agg(F.max("user_id")).first()[0] + 1
     ev_parts = [
         ev.withColumn("user_id", F.col("user_id") + F.lit(r * n_users)) for r in range(k)
     ]
-    scaled_ev = ev_parts[0]
-    for p in ev_parts[1:]:
-        scaled_ev = scaled_ev.unionAll(p)
-    scaled_ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _union_write(ev_parts, f"{out}/events.parquet", 32)
 
     # warehouse tables (round 2b: the OLAP trio + rollup/pivot/asof run
     # at 10× too). Facts replicate with key offsets — new orders for the
@@ -120,12 +126,6 @@ def main() -> None:
         for r in range(k)
     ]
 
-    def _union_write(parts, path, n_part):
-        d = parts[0]
-        for p in parts[1:]:
-            d = d.unionAll(p)
-        d.repartition(n_part).write.mode("overwrite").parquet(path)
-
     _union_write(ord_parts, f"{out}/orders.parquet", 16)
     _union_write(cust_parts, f"{out}/customer.parquet", 4)
     _union_write(li_parts, f"{out}/lineitem.parquet", 32)
@@ -136,7 +136,9 @@ def main() -> None:
 
     print(
         f"wrote {k}x scale-up of {src} to {out}: "
-        f"{scaled_docs.count()} docs, {scaled_emb.count()} vecs, {scaled_ev.count()} events"
+        f"{spark.read.parquet(f'{out}/documents.parquet').count()} docs, "
+        f"{spark.read.parquet(f'{out}/embeddings.parquet').count()} vecs, "
+        f"{spark.read.parquet(f'{out}/events.parquet').count()} events"
     )
     spark.stop()
 

@@ -74,3 +74,30 @@ def test_asof_plan_single_exchange_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "as-of must be the union+window plan, not a join"
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    """A right row with NULL ts is unmatchable (ASOF semantics), not
+    nulls-first-sorted into being everyone's match."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(k="a", ts=dt.datetime(2024, 1, 1), lv="L")])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=None, rid=1, v="ghost")],
+        "k string, ts timestamp, rid int, v string",
+    )
+    [r] = asof_join(left, right, on="k", ts_col="ts", tiebreak_col="rid",
+                    prefix="m_").collect()
+    assert (r["m_ts"], r["m_rid"], r["m_v"]) == (None, None, None)
+
+
+def test_asof_tiebreak_outside_value_cols(spark):
+    """tiebreak_col need not be listed in value_cols (review finding:
+    the window ordering referenced a missing struct field)."""
+    left, right = _build(spark)
+    out = asof_join(left, right, on="k", ts_col="ts", value_cols=["v"],
+                    tiebreak_col="rid", prefix="m_")
+    got = {r["lv"]: r["m_v"] for r in out.collect()}
+    assert got["L2"] == "r20b"  # max-rid row still wins the tie
