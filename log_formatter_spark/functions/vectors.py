@@ -83,3 +83,58 @@ SELECT {id_col}, {vec_col},
        list_transform(CAST({vec_col} AS DOUBLE[]), x -> x / _n) AS uv
 FROM (SELECT {id_col}, {vec_col}, sqrt({dot_sql(vec_col, vec_col)}) AS _n FROM {src})
 """
+
+
+# --- vectorized (Arrow/numpy) dot kernel ----------------------------------
+#
+# The fold `dot` above is JVM-codegen'd but INTERPRETED per element
+# (HOF lambda), which is the right trade for oracle parity (sequential
+# left fold = DuckDB's list_reduce, bit-exact) but costs ~117 s on the
+# 100x-scale embedding near-dup verify step (BENCH.md r2 §11). The
+# production swap is this Arrow-batched numpy kernel: whole candidate
+# batches cross to Python once via Arrow, the dot is one BLAS-shaped
+# einsum over a dense (batch, dim) matrix. NOT bit-identical to the
+# fold (pairwise/SIMD summation order) — so it is opt-in via
+# verify="vectorized" on the ANN operators and excluded from the
+# oracle-hashed contract path; equality within float tolerance is
+# pinned in tests/test_vectorized_dot.py.
+
+
+def _dot_batch(xs, ys):
+    """(pd.Series of np arrays, pd.Series of np arrays) -> pd.Series."""
+    import numpy as np
+    import pandas as pd
+
+    if len(xs) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.vstack(xs.to_numpy())
+    B = np.vstack(ys.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", A, B), index=xs.index)
+
+
+_DOT_UDF = None
+
+
+def dot_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy dot of two array<double> columns."""
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        # explicit functionType: the decorator's type-hint inference can't
+        # see through `from __future__ import annotations` string hints
+        _DOT_UDF = pandas_udf(_dot_batch, "double", PandasUDFType.SCALAR)
+    return _DOT_UDF(_d(a), _d(b))
+
+
+def dot_kernel(verify: str):
+    """Select the pair-verify dot kernel: "fold" (sequential HOF fold,
+    bit-exact vs the DuckDB oracle — the contract default) or
+    "vectorized" (Arrow/numpy einsum, ~10-100x faster per candidate at
+    scale, float-tolerance-equal — the production default)."""
+    if verify == "fold":
+        return dot
+    if verify == "vectorized":
+        return dot_vectorized
+    raise ValueError(f"unknown verify kernel {verify!r} (use 'fold' or 'vectorized')")

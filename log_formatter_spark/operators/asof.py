@@ -74,7 +74,14 @@ def asof_join(
     # Spark's nulls-first ascending sort would otherwise place it ahead
     # of everything and last(ignorenulls) would hand it to every
     # unmatched left row (DuckDB's ASOF JOIN never matches NULL ts).
+    # NULL join keys likewise never match under SQL equality, but
+    # Window.partitionBy groups NULL keys into one partition — so a
+    # null-key right row would wrongly serve null-key left rows
+    # (ADVICE r2). Dropping them gives null-key left rows the correct
+    # no-match nulls.
     right = right.where(F.col(ts_col).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
 
     # All right columns travel as ONE struct: last(..., ignorenulls) then
     # skips left rows (null struct) but never skips a right row whose

@@ -278,12 +278,16 @@ def events_pivot(ev: DataFrame) -> DataFrame:
 
 
 def events_pivot_sql(src: str = "events") -> str:
+    # CAST to BIGINT: DuckDB's sum() over integers is HUGEINT, which the
+    # driver's typed value-hash sees as float64 vs Spark's int64 (the one
+    # red row in CORRECTNESS_r02). hour() likewise renders int64 vs
+    # Spark's int32 — same pattern as events_props_json_sql.
     cols = ",\n       ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in EVENT_TYPES
     )
     return f"""
-SELECT hour(ts) AS hour_of_day,
+SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
        {cols}
 FROM {src} GROUP BY hour(ts)
 """

@@ -144,8 +144,13 @@ def lsh_topk(
     n_anchors: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "fold",
 ) -> DataFrame:
     """ANN top-k: rank only candidates in the query's bucket.
+
+    ``verify="vectorized"`` swaps the per-candidate cosine to the
+    Arrow/numpy kernel (functions.vectors.dot_kernel) — the production
+    config; ``"fold"`` stays the oracle-bit-exact default.
 
     ``n_anchors=None`` auto-sizes the bucket code to the corpus
     (⌈log₂(n/64)⌉ bits, clamped to [3, 16]): per-query candidate work is
@@ -169,9 +174,12 @@ def lsh_topk(
     pairs = c.join(F.broadcast(q), on="bucket").where(
         F.col("q_id") != F.col("neighbor_id")
     )
+    from log_formatter_spark.functions.vectors import dot_kernel
+
+    kernel = dot_kernel(verify)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos"))
+        pairs.select("q_id", "neighbor_id", kernel(F.col("qu"), F.col("cu")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cos")
@@ -271,6 +279,7 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "fold",
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantize, probe, exact rerank.
 
@@ -323,9 +332,12 @@ def ivf_topk(
     pairs = c.join(F.broadcast(probes), on="cell").where(
         F.col("q_id") != F.col("neighbor_id")
     )
+    from log_formatter_spark.functions.vectors import dot_kernel
+
+    kernel = dot_kernel(verify)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos"))
+        pairs.select("q_id", "neighbor_id", kernel(F.col("qu"), F.col("cu")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cos")

@@ -101,3 +101,17 @@ def test_asof_tiebreak_outside_value_cols(spark):
                     tiebreak_col="rid", prefix="m_")
     got = {r["lv"]: r["m_v"] for r in out.collect()}
     assert got["L2"] == "r20b"  # max-rid row still wins the tie
+
+
+def test_asof_null_key_rows_never_match(spark):
+    """SQL equality never matches NULL keys; Window.partitionBy would
+    group them (ADVICE r2) — null-key right rows must be dropped so
+    null-key left rows get the no-match nulls DuckDB's ASOF JOIN gives."""
+    left = spark.createDataFrame(
+        [Row(k=None, ts=_ts(10), lv="L1"), Row(k="a", ts=_ts(10), lv="L2")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, ts=_ts(5), rid=1, v="null-key"), Row(k="a", ts=_ts(5), rid=2, v="ra")]
+    )
+    out = {r["lv"]: r["asof_v"] for r in asof_join(left, right, on="k", tiebreak_col="rid").collect()}
+    assert out == {"L1": None, "L2": "ra"}

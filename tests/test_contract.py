@@ -32,26 +32,60 @@ def duck(sf_dir):
 
 
 def _canon(val):
+    """Canonicalize to a (type-tag, value) pair.
+
+    The driver's value-hash is TYPE-AWARE (pandas dtype feeds the hash):
+    int64 1 vs float64 1.0 mismatch there, but Python's ``1 == 1.0`` is
+    True — exactly how the events_pivot HUGEINT oracle bug passed this
+    replica in round 2 yet failed the driver. Tagging every scalar with
+    its post-conversion Python type makes the replica at least as strict
+    as the driver (see tests below pinning int!=float and bool!=int).
+    """
+    if isinstance(val, bool):  # before int: bool is an int subclass
+        return ("bool", val)
     if isinstance(val, float):
         if math.isnan(val):
-            return "NaN"
-        return val
+            return ("float", "NaN")
+        return ("float", val)
+    if isinstance(val, int):
+        return ("int", val)
     if hasattr(val, "isoformat"):  # datetime/date: tz-naive text form
-        return val.replace(tzinfo=None).isoformat() if getattr(val, "tzinfo", None) else val.isoformat()
-    if isinstance(val, bool):
-        return bool(val)
-    try:  # Decimal and numpy scalars -> python
+        iso = (
+            val.replace(tzinfo=None).isoformat()
+            if getattr(val, "tzinfo", None)
+            else val.isoformat()
+        )
+        return ("ts", iso)
+    try:  # numpy scalars -> python
         import numpy as np
 
         if isinstance(val, np.generic):
             return _canon(val.item())
+        if isinstance(val, np.ndarray):
+            return ("list", tuple(_canon(v) for v in val.tolist()))
     except ImportError:
         pass
     from decimal import Decimal
 
     if isinstance(val, Decimal):
-        return float(val)
-    return val
+        # both engines surface DECIMAL as Decimal; driver compares via
+        # float64 pandas columns, so mirror that single conversion
+        return ("float", float(val))
+    if isinstance(val, (list, tuple)):
+        return ("list", tuple(_canon(v) for v in val))
+    return (type(val).__name__, val)
+
+
+def test_canon_is_type_strict():
+    """A deliberately float-typed value must NOT equal its int twin
+    (VERDICT r2 item #3 done-condition)."""
+    assert _canon(1) != _canon(1.0)
+    assert _canon(True) != _canon(1)
+    assert _canon(0) != _canon(False)
+    import numpy as np
+
+    assert _canon(np.int64(3)) == _canon(3)
+    assert _canon(np.float64(3.0)) != _canon(3)
 
 
 def _rowset(cols, rows):
@@ -59,6 +93,19 @@ def _rowset(cols, rows):
     out = []
     for r in rows:
         out.append(tuple(_canon(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=repr)
+
+
+def _pd_rowset(pdf):
+    """Rowset via pandas — the same surface the driver hashes. itertuples
+    yields numpy scalars, so dtype promotions the driver sees (DuckDB
+    HUGEINT→float64, nullable-int→float64+NaN) survive into the tags."""
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [
+        tuple(_canon(tup[i]) for i in order)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
     return sorted(cols), sorted(out, key=repr)
 
 
@@ -72,13 +119,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = contract.queries()[name]
     sql = contract.oracle_sql()[name]
     sdf = q(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
-    res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    sc, sr = _rowset(scols, srows)
-    dc, dr = _rowset(dcols, drows)
+    spdf = sdf.toPandas()
+    dpdf = duck.execute(sql).df()
+    sc, sr = _pd_rowset(spdf)
+    dc, dr = _pd_rowset(dpdf)
     assert sc == dc, f"{name}: column names differ: {sc} vs {dc}"
     assert len(sr) == len(dr), f"{name}: row counts differ: {len(sr)} vs {len(dr)}"
     mismatches = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
@@ -104,3 +148,16 @@ def test_entry_runs(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_gate_order_covers_catalog():
+    """_GATE_ORDER must enumerate exactly the catalog (a renamed or new
+    query must be placed deliberately) and keep the flagship first /
+    the streaming job last."""
+    order = contract._GATE_ORDER
+    cat = set(contract._catalog())
+    assert set(order) == cat, set(order) ^ cat
+    assert len(order) == len(set(order)), "duplicates in _GATE_ORDER"
+    keys = list(contract.queries())
+    assert keys[0] == "transcripts_view"
+    assert keys[-1] == "streaming_pipeline_counts"
