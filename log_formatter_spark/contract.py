@@ -364,6 +364,38 @@ def _kafka_decode_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kafka_pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's kafka E2E gate (Makefile:43-51: producer → agent
+    → routed output), brokerless and driver-hashed: the YAML PLANNER
+    builds this plan — kafka_fixture source → json decode (corrupt
+    frames dead-letter as nulls) → parser → dynamic route template —
+    exactly the config a reference user runs
+    (config.modules/input-kafka*.yml), then per-route counts are
+    oracle-checked. Complements tests/test_kafka_planner.py (which also
+    drives the parquet sink write)."""
+    from log_formatter_spark.plans.planner import build_pipeline
+
+    cfg = {
+        "input": {
+            "target": "kafka_fixture",
+            "sf_dir": sf_dir,
+            "schema": "json",
+            "corrupt_every": KAFKA_CORRUPT_EVERY,
+        },
+        "pipeline": {
+            "formatters": [
+                {"parser": {"components_regex": TRANSCRIPT_PATTERN}},
+                {"route": {"template": "logs-{{level}}-{{role}}"}},
+            ],
+        },
+    }
+    df = build_pipeline(spark, cfg)
+    return df.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+    )
+
+
 def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hash bucket — the
     standard reproducible-split primitive for training corpora (pure
@@ -537,6 +569,7 @@ _GATE_ORDER = [
     "parse_labels",
     "corpus_filter",
     "kafka_decode_json",
+    "kafka_pipeline_routed",
     "enrich_join",
     # 1-2 s shapes
     "route_split",
@@ -595,6 +628,7 @@ def _catalog() -> dict[str, QueryFn]:
         "busiest_convs": _busiest_convs,
         "kafka_decode_json": _kafka_decode_json,
         "kafka_decode_raw": _kafka_decode_raw,
+        "kafka_pipeline_routed": _kafka_pipeline_routed,
         "asof_last_click": _asof_last_click,
         "kmv_distinct_users": _kmv_distinct_users,
         "events_rollup": lambda s, d: olap.events_rollup(
@@ -756,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
         "kafka_decode_json": TRANSCRIPT_CTES
         + kafka_fixture.kafka_decode_json_sql(corrupt_every=KAFKA_CORRUPT_EVERY),
         "kafka_decode_raw": TRANSCRIPT_CTES + kafka_fixture.kafka_decode_raw_sql(),
+        "kafka_pipeline_routed": TRANSCRIPT_CTES
+        + kafka_fixture.kafka_pipeline_routed_sql(
+            TRANSCRIPT_PATTERN, corrupt_every=KAFKA_CORRUPT_EVERY
+        ),
         "conversation_sessions": TRANSCRIPT_CTES
         + sessions.conversation_sessions_sql("transcripts"),
         "distinct_convs_hourly": TRANSCRIPT_CTES

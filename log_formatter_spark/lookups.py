@@ -27,12 +27,20 @@ TOOL_ROWS = [
 ]
 
 
+def _one_slice(spark: SparkSession, rows, schema: str) -> DataFrame:
+    # single-slice parallelize: createDataFrame spreads driver rows over
+    # default parallelism (32 near-empty python partitions), and every
+    # consumer of the broadcast build then pays a Python-worker
+    # round-trip per partition; one slice = one round-trip
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def role_lookup(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ROLE_ROWS, "role string, role_class string, priority int")
+    return _one_slice(spark, ROLE_ROWS, "role string, role_class string, priority int")
 
 
 def tool_lookup(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TOOL_ROWS, "tool string, tool_kind string, is_sideeffect boolean")
+    return _one_slice(spark, TOOL_ROWS, "tool string, tool_kind string, is_sideeffect boolean")
 
 
 ROLE_LOOKUP_SQL = (

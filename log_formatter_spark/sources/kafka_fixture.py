@@ -175,3 +175,31 @@ def kafka_decode_raw_sql(n_partitions: int = N_KAFKA_PARTITIONS) -> str:
 SELECT kpart, koffset, text AS message
 FROM offs
 """
+
+
+def kafka_pipeline_routed_sql(
+    pattern: str,
+    n_partitions: int = N_KAFKA_PARTITIONS,
+    corrupt_every: int | None = None,
+) -> str:
+    """Oracle for the FULL broker-free kafka pipeline (the reference's
+    Makefile kafka E2E gate, reference Makefile:43-51, re-expressed as a
+    driver-hashed row): frames → json decode (corrupt → dead-letter
+    nulls) → parse → dynamic route template → per-route counts."""
+    return f""", {_frames_ctes(n_partitions, corrupt_every)},
+kdecoded AS (
+  SELECT CASE WHEN corrupt THEN NULL ELSE text END AS text,
+         CASE WHEN corrupt THEN NULL ELSE role END AS role,
+         NOT corrupt AS decode_ok
+  FROM offs
+),
+kparsed AS (
+  SELECT *, CASE WHEN text IS NOT NULL AND regexp_matches(text, '{pattern}')
+                 THEN regexp_extract(text, '{pattern}', 2) END AS level
+  FROM kdecoded
+)
+SELECT 'logs-' || coalesce(level, '') || '-' || coalesce(role, '') AS route,
+       count(*) AS n,
+       CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded
+FROM kparsed GROUP BY 1
+"""

@@ -1,0 +1,92 @@
+"""Trained-quantizer knobs (VERDICT r2 #8): k-means centroids and
+sqrt(n) cell auto-sizing for ivf_topk. Non-oracled (training is
+sample-based, not SQL-expressible), so the gate here is recall measured
+against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_formatter_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _hits(df):
+    return {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_train_centroids_shape_and_determinism(spark, emb):
+    c1 = similarity.train_centroids(emb, 8)
+    c2 = similarity.train_centroids(emb, 8)
+    assert c1 == c2, "training must be rerun-deterministic"
+    assert [cid for cid, _ in c1] == list(range(8))
+    import math
+
+    for _, v in c1:
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(n - 1.0) < 1e-9, "centroids must be unit vectors"
+
+
+def _clustered_corpus(spark, n=4000, dim=32, n_clusters=8, seed=7):
+    """Deterministic clustered embeddings — the regime IVF exists for.
+    The driver testdata's embeddings are near-uniform (no cluster
+    structure), where NO quantizer can beat another; real embedding
+    corpora are clustered, and that is where trained cells matter."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, size=n)
+    X = centers[labels] + 0.15 * rng.randn(n, dim)
+    rows = [(int(i), [float(v) for v in X[i]], int(labels[i])) for i in range(n)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 8),
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_trained_beats_anchors_on_clustered_corpus(spark):
+    """The production claim (VERDICT r2 #8 done-condition): on a
+    clustered corpus, k-means centroids recover the cluster structure,
+    so at the same probe budget trained cells find the true neighbors
+    (which live in the query's cluster) while arbitrary lowest-id
+    anchors split/merge clusters and miss them."""
+    emb = _clustered_corpus(spark)
+    k = 10
+    exact = _hits(similarity.brute_topk(emb, k=k, n_queries=50))
+    r = {}
+    for mode in ("anchors", "trained"):
+        # n_probe=1: the strict regime — recall survives only if each
+        # cluster maps to ONE cell. Anchors drawn from the same cluster
+        # split it across cells and lose its neighbors.
+        # n_queries=50 >> 8 anchors: a query that IS an anchor trivially
+        # probes its own Voronoi cell (recall 1.0 by construction) —
+        # most of these 50 are ordinary corpus points
+        hits = _hits(similarity.ivf_topk(emb, k=k, n_queries=50, n_probe=1, centroids=mode))
+        r[mode] = len(hits & exact) / len(exact)
+    assert r["trained"] >= 0.9, r
+    assert r["trained"] > r["anchors"], r
+
+
+def test_pretrained_list_reusable(spark, emb):
+    cents = similarity.train_centroids(emb, 8)
+    a = _hits(similarity.ivf_topk(emb, k=5, centroids=cents))
+    b = _hits(similarity.ivf_topk(emb, k=5, centroids="trained"))
+    assert a == b
+
+
+def test_auto_centroids_sqrt_law():
+    assert similarity.auto_centroids(0) == 8
+    assert similarity.auto_centroids(100) == 10
+    assert similarity.auto_centroids(1_000_000) == 1000
+    assert similarity.auto_centroids(10**9) == 4096  # clamp
+
+
+def test_unknown_centroids_mode_rejected(spark, emb):
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb, centroids="magic")
