@@ -90,7 +90,7 @@ def _embedding_lsh_prod(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_dup_pairs_lsh(
-        emb, min_cos=contract.EMBED_MIN_COS, verify="vectorized"
+        emb, min_cos=contract.EMBED_MIN_COS, verify="grouped"
     )
 
 

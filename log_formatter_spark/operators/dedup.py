@@ -785,27 +785,89 @@ def embedding_dup_pairs_lsh(
         band_structs.append(
             F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
         )
+    # The vectors RIDE THROUGH the band join and the verify runs INLINE
+    # on the join output, with distinct() only over the (tiny) surviving
+    # pairs. The previous plan — distinct over ALL raw candidates, then
+    # two joins back to the vector table — shuffled the full candidate
+    # set twice more (at 100× driver scale: ~48 M candidate rows → a
+    # 185-253 s query); here the only large flows are the band table
+    # (n·bands rows × dim doubles, one exchange per side) and the
+    # join output, which is verified in place and collapses to the
+    # near-dup survivors before any further shuffle. A pair sharing
+    # buckets in b bands is verified b times (b ≤ n_bands, exact same
+    # cos each time — dedup'd by the final distinct); that duplicate
+    # verify work is ~n_bands× cheaper than re-shuffling candidates.
     bands = u.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(y, on=["band", "bucket"])
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        .distinct()
+        F.col(id_col), F.col("uv"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "uv", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if verify == "grouped":
+        # the 100 TB verify: applyInPandas per (band, bucket) — each
+        # bucket's vectors cross to Python ONCE (n·bands rows total,
+        # ~dim doubles each), and the intra-bucket all-pairs cosines are
+        # one dense gram matmul. The join-form below ships BOTH vectors
+        # PER CANDIDATE instead (~occupancy/2 × more bytes through the
+        # exchange): measured at 100× driver scale, 67 s join-form vs
+        # ~8 s grouped. BLAS blocking makes the last ulp of a cosine
+        # depend on bucket size, so cross-band duplicates are collapsed
+        # by (id_a, id_b) with min(cos) — deterministic — rather than
+        # exact-tuple distinct; the fold kernel stays the oracle path.
+        return _bucket_pairs_grouped(bands, min_cos, id_col)
     from log_formatter_spark.functions.vectors import dot_kernel
 
     kernel = dot_kernel(verify)
-    ua = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
-    ub = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
+    x = bands.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col("uv").alias("ua"),
+    )
+    y = bands.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col("uv").alias("ub"),
+    )
     return (
-        cand.join(ua, "id_a")
-        .join(ub, "id_b")
+        x.join(y, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", kernel(F.col("ua"), F.col("ub")).alias("cos"))
         .where(F.col("cos") >= min_cos)
+        .distinct()
     )
+
+
+def _bucket_pairs_grouped(bands: DataFrame, min_cos: float, id_col: str) -> DataFrame:
+    """Per-bucket all-pairs verify as one grouped Arrow kernel.
+
+    Input: (id, uv, band, bucket) rows. Each (band, bucket) group is
+    executor-local (bucket occupancy is held near a constant by
+    auto_bits, so groups stay small even as the corpus grows); the
+    kernel sorts by id, computes the gram matrix with one matmul, and
+    emits the upper-triangle pairs clearing ``min_cos``. Output is
+    deduped across bands by (id_a, id_b) → min(cos)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.vstack(pdf["uv"].to_numpy())[order]
+        G = X @ X.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = G[iu, ju]
+        m = c >= min_cos
+        return pd.DataFrame(
+            {"id_a": ids[iu[m]], "id_b": ids[ju[m]], "cos": c[m]}
+        )
+
+    pairs = bands.groupBy("band", "bucket").applyInPandas(
+        fn, "id_a long, id_b long, cos double"
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
 def embedding_dup_pairs_lsh_sql(

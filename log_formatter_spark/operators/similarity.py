@@ -266,6 +266,46 @@ GROUP BY label, i
 
 N_CENTROIDS = 8
 N_PROBE = 2
+# above this cell count, ivf assignment switches from per-centroid
+# literal expressions to the Arrow matrix kernel (plan size O(1) in k)
+_CELL_EXPR_MAX_K = 16
+
+
+def _cell_kernels(cents: list[tuple[int, list[float]]], n_probe: int):
+    """Arrow-batched cell assignment for large centroid sets: argmax-dot
+    (corpus side) and top-``n_probe`` cells (query side) over the
+    centroid matrix held in the UDF closure. Ties break toward the
+    HIGHER cid, matching _argmax_cell/_cell_structs ordering: columns
+    are laid out cid-descending so numpy's stable argsort resolves equal
+    dots to the higher cid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(cents)), key=lambda i: -cents[i][0])
+    ids = np.array([cents[i][0] for i in order])
+    M = np.array([cents[i][1] for i in order], dtype=np.float64)  # k x d
+
+    def _dots(uv):
+        return np.vstack(uv.to_numpy()) @ M.T
+
+    @pandas_udf("int")
+    def assign(uv):
+        import pandas as pd
+
+        if len(uv) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(ids[_dots(uv).argmax(axis=1)], index=uv.index)
+
+    @pandas_udf("array<int>")
+    def probe(uv):
+        import pandas as pd
+
+        if len(uv) == 0:
+            return pd.Series([], dtype="object")
+        top = np.argsort(-_dots(uv), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([[int(v) for v in ids[row]] for row in top], index=uv.index)
+
+    return assign, probe
 
 
 def _cell_structs(cents: list[tuple[int, list[float]]]):
@@ -358,26 +398,46 @@ def ivf_topk(
         return emb.sparkSession.createDataFrame(
             [], "q_id long, neighbor_id long, rank int, cos double"
         )
-    assigned = u.select(
-        F.col(id_col), F.col("uv"), _argmax_cell(cents).alias("cell")
-    )
-    # probe list: per query, the n_probe cells with the largest centroid
-    # dot (desc, cid desc on ties — mirrors the argmax tie rule)
-    probes = (
-        u.where(F.col(id_col) < n_queries)
-        .select(
-            F.col(id_col).alias("q_id"),
-            F.col("uv").alias("qu"),
-            F.explode(_cell_structs(cents)).alias("dc"),
+    if len(cents) <= _CELL_EXPR_MAX_K:
+        # codegen'd per-centroid literal expressions — the oracle path
+        # (bit-exact, whole-stage codegen), compile cost ~O(k*dim)
+        assigned = u.select(
+            F.col(id_col), F.col("uv"), _argmax_cell(cents).alias("cell")
         )
-        .select("q_id", "qu", F.col("dc.d").alias("d"), F.col("dc.cid").alias("cell"))
-    )
-    pw = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("cell").desc())
-    probes = (
-        probes.withColumn("prn", F.row_number().over(pw))
-        .where(F.col("prn") <= n_probe)
-        .select("q_id", "qu", "cell")
-    )
+        # probe list: per query, the n_probe cells with the largest
+        # centroid dot (desc, cid desc on ties — mirrors the argmax rule)
+        probes = (
+            u.where(F.col(id_col) < n_queries)
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.col("uv").alias("qu"),
+                F.explode(_cell_structs(cents)).alias("dc"),
+            )
+            .select("q_id", "qu", F.col("dc.d").alias("d"), F.col("dc.cid").alias("cell"))
+        )
+        pw = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("cell").desc())
+        probes = (
+            probes.withColumn("prn", F.row_number().over(pw))
+            .where(F.col("prn") <= n_probe)
+            .select("q_id", "qu", "cell")
+        )
+    else:
+        # large k (production sqrt(n) sizing): per-centroid expressions
+        # would grow the plan ~O(k*dim) literals — compile time alone was
+        # 12+ s at k=45. Instead the centroid MATRIX rides inside an
+        # Arrow-batched kernel (one einsum per batch; on a cluster the
+        # closure is torrent-broadcast with the task binary), so plan
+        # size is O(1) in k and assignment stays one map-only pass.
+        assign_udf, probe_udf = _cell_kernels(cents, n_probe)
+        assigned = u.select(F.col(id_col), F.col("uv"), assign_udf(F.col("uv")).alias("cell"))
+        probes = (
+            u.where(F.col(id_col) < n_queries)
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.col("uv").alias("qu"),
+                F.explode(probe_udf(F.col("uv"))).alias("cell"),
+            )
+        )
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cu"), "cell")
     pairs = c.join(F.broadcast(probes), on="cell").where(
         F.col("q_id") != F.col("neighbor_id")

@@ -90,3 +90,16 @@ def test_auto_centroids_sqrt_law():
 def test_unknown_centroids_mode_rejected(spark, emb):
     with pytest.raises(ValueError):
         similarity.ivf_topk(emb, centroids="magic")
+
+
+def test_matrix_kernel_matches_literal_assignment(spark, emb, monkeypatch):
+    """Above _CELL_EXPR_MAX_K, ivf assignment switches to the Arrow
+    matrix kernel; both paths must agree (same argmax/probe semantics,
+    higher-cid tie break)."""
+    cents = similarity.train_centroids(emb, 20)
+    via_matrix = similarity.ivf_topk(emb, k=5, centroids=cents)  # 20 > 16
+    monkeypatch.setattr(similarity, "_CELL_EXPR_MAX_K", 100)
+    via_literal = similarity.ivf_topk(emb, k=5, centroids=cents)
+    a = sorted(tuple(r) for r in via_matrix.collect())
+    b = sorted(tuple(r) for r in via_literal.collect())
+    assert [(x[0], x[1], x[2]) for x in a] == [(x[0], x[1], x[2]) for x in b]

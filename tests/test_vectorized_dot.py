@@ -61,3 +61,14 @@ def test_unknown_kernel_rejected():
 
     with pytest.raises(ValueError):
         dot_kernel("simd")
+
+
+def test_lsh_dup_pairs_grouped_equals_fold(spark, emb):
+    """verify="grouped" (per-bucket gram-matrix kernel, the 100× path)
+    must find the same pair set as the oracle fold plan, cosines equal
+    within float tolerance."""
+    fold = _pairs(dedup.embedding_dup_pairs_lsh(emb, min_cos=0.4, verify="fold"))
+    grp = _pairs(dedup.embedding_dup_pairs_lsh(emb, min_cos=0.4, verify="grouped"))
+    assert set(fold) == set(grp)
+    for k in fold:
+        assert math.isclose(fold[k], grp[k], rel_tol=1e-12, abs_tol=1e-12)
