@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from log_formatter_spark.functions import multimodal, sketch
 from log_formatter_spark.functions import shingles as sh
 from log_formatter_spark.functions import text as T
+from log_formatter_spark.functions.grok import grok_parser, grok_to_regex
+from log_formatter_spark.functions.redact import redact_text, redact_text_sql
 from log_formatter_spark.lookups import (
     ROLE_LOOKUP_SQL,
     TOOL_LOOKUP_SQL,
@@ -134,6 +136,97 @@ def _parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "conv_id", "turn_idx", "parse_ok", "ts_str", "level", "tool_tag", "body"
     )
+
+
+# The transcript extraction written in grok instead of raw regex — the
+# Logstash-facing surface of the same parser (functions/grok.py expands
+# it to a named-group regex at plan time; the oracle runs the identical
+# expanded pattern, so this row also pins grok's engine parity).
+GROK_TRANSCRIPT = (
+    "%{TIMESTAMP_ISO8601:ts_str} %{LOGLEVEL:level} "
+    r"\[%{DATA:tool_tag}\] %{GREEDYDATA:body} turn=%{NONNEGINT:turn_}"
+)
+
+
+def _parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = apply_parser(t, grok_parser(GROK_TRANSCRIPT, engine="arrow"))
+    return parsed.select(
+        "conv_id", "turn_idx", "parse_ok", "ts_str", "level", "tool_tag", "body"
+    )
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected PII.
+
+    The synthetic corpus carries no organic PII, so the query itself
+    stamps emails / IPs / phone shapes onto a doc_id-derived subset —
+    computed identically by the oracle — and the redactor must find and
+    replace exactly those (plus count them on the original text)."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" src=10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_text(injected)
+
+
+# grok oracle: DuckDB runs the SAME expanded pattern; dictionary entries
+# are capture-free, so group index == field position (functions/grok.py).
+_GP = grok_to_regex(GROK_TRANSCRIPT)
+_GROK_EXTRACT = ",\n       ".join(
+    f"CASE WHEN regexp_matches(text, '{_GP}') THEN regexp_extract(text, '{_GP}', {i + 1}) END AS {g}"
+    for i, g in enumerate(["ts_str", "level", "tool_tag", "body"])
+)
+_PARSE_GROK_SQL = f"""
+WITH transcripts AS ({{TRANSCRIPTS_SQL}})
+SELECT conv_id, turn_idx,
+       coalesce(regexp_matches(text, '{_GP}'), FALSE) AS parse_ok,
+       {_GROK_EXTRACT}
+FROM transcripts
+""".replace("{TRANSCRIPTS_SQL}", TRANSCRIPTS_SQL)
+
+
+_PII_INJECT_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' src=10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       AS text
+FROM documents
+"""
 
 
 def _enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +642,7 @@ _GATE_ORDER = [
     "skew_salted_agg",
     "window_ordering",
     "text_stats",
+    "pii_redact",
     "parse_error_tolerant",
     "turn_latency",
     "kafka_decode_raw",
@@ -563,6 +657,7 @@ _GATE_ORDER = [
     "conversation_sessions",
     "regional_revenue",
     "parse_extract",
+    "parse_grok",
     "similarity_topk",
     "asof_last_click",
     "dedup_minhash_signatures",
@@ -612,6 +707,7 @@ def _catalog() -> dict[str, QueryFn]:
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
         "streaming_pipeline_counts": _streaming_pipeline_counts,
         "parse_extract": _parse_extract,
+        "parse_grok": _parse_grok,
         "parse_labels": _parse_labels,
         "enrich_join": _enrich_join,
         "route_split": _route_split,
@@ -678,6 +774,7 @@ def _catalog() -> dict[str, QueryFn]:
         "dataset_split": _dataset_split,
         # text analysis
         "text_stats": lambda s, d: T.text_stats(_docs(s, d)),
+        "pii_redact": _pii_redact,
         "token_count": lambda s, d: T.token_count(_docs(s, d)),
         "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
         "lang_id_ngram": lambda s, d: T.lang_id_ngram(_docs(s, d)),
@@ -757,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_pipeline_counts": _PIPELINE_COUNTS_SQL,
         "parse_extract": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, parse_ok, ts_str, level, tool_tag, body FROM parsed",
+        "parse_grok": _PARSE_GROK_SQL,
         "parse_labels": TRANSCRIPT_CTES
         + f"""SELECT conv_id, turn_idx, body,
            CASE WHEN body IS NOT NULL AND regexp_matches(body, 'hello (\\w+)')
@@ -814,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_top_orders": analytics.segment_top_orders_sql(),
         "regional_revenue": analytics.regional_revenue_sql(),
         "text_stats": T.text_stats_sql(),
+        "pii_redact": redact_text_sql(src=f"({_PII_INJECT_SQL})"),
         "token_count": T.token_count_sql(),
         "lang_id": T.lang_id_sql(),
         "lang_id_ngram": T.lang_id_ngram_sql(),

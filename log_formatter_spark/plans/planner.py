@@ -83,10 +83,16 @@ def _parser_formatter(df: DataFrame, cfg: dict) -> DataFrame:
     labels = tuple(
         LabelRule(l["component"], tuple(l.get("regexprs", ()))) for l in cfg.get("labels", ())
     )
+    if "grok" in cfg:  # plan-time sugar: expand grok to the raw regex
+        from log_formatter_spark.functions.grok import grok_to_regex
+
+        regex = grok_to_regex(cfg["grok"], cfg.get("grok_patterns"))
+    else:
+        regex = cfg["components_regex"]
     return apply_parser(
         df,
         ParserConfig(
-            components_regex=cfg["components_regex"],
+            components_regex=regex,
             target_field=cfg.get("target_field", "text"),
             labels=labels,
             error_tolerant=bool(cfg.get("error_tolerant", False)),

@@ -10,6 +10,7 @@ import pytest
 from log_formatter_spark.functions import multimodal
 from log_formatter_spark.functions import shingles as sh
 from log_formatter_spark.functions import text as T
+from log_formatter_spark.functions.redact import redact_text
 from log_formatter_spark.operators import corpus, dedup, sessions, similarity
 from log_formatter_spark.operators.parser import ParserConfig, apply_parser
 from log_formatter_spark.pipeline import full_pipeline
@@ -60,6 +61,7 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: dedup.ngram_jaccard_pairs(d, n=3, max_doc_freq=100),
         lambda d: corpus.corpus_filter(d),
         lambda d: T.text_stats(d),
+        lambda d: redact_text(d),
         lambda d: T.lang_id(d),
         lambda d: T.token_count(d),
         lambda d: sh.fingerprint(d, n=5),
