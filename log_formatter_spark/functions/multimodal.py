@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,14 +63,40 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _batch_bytes(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch of ``bytes`` payloads into one uint8 buffer.
+
+    Returns ``(big, lens, offsets)`` where ``big[offsets[r] : offsets[r]
+    + lens[r]]`` is row *r*. One ``b"".join`` is the only per-row Python
+    loop; everything downstream indexes the flat buffer with numpy."""
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else lens
+    return big, lens, offsets
+
+
 def decode_features(
-    media: DataFrame, n_features: int = 4, decode_stub: str = "fake"
+    media: DataFrame, n_features: int = 4, decode_stub: str = "fake", kernel: str = "auto"
 ) -> DataFrame:
     """Arrow-batched decode → fixed-width feature vector per payload.
 
     The pandas iterator signature is the real production shape; only the
-    innermost byte→feature step is stubbed.
-    """
+    innermost byte→feature step is stubbed. ``kernel="auto"`` runs the
+    vectorized numpy path (flat uint8 buffer + fancy indexing — exact
+    for ASCII batches, where byte == code point) and falls back to the
+    per-row Python kernel only for batches containing non-ASCII bytes;
+    ``kernel="python"`` forces the reference kernel (equality with the
+    vectorized path is pinned in tests/test_multimodal.py)."""
+
+    def _decode_python(pdf: pd.DataFrame) -> list[list[float]]:
+        # Reference kernel: feature i = code point of the (i mod len)-th
+        # character of the UTF-8-decoded payload. The char-based
+        # definition keeps an exact DuckDB rendering (decode_features_sql)
+        # for the driver's value-hash oracle.
+        return [
+            [float(ord(s[i % len(s)])) if s else 0.0 for i in range(n_features)]
+            for s in (b.decode("utf-8") for b in pdf["payload"])
+        ]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,23 +105,25 @@ def decode_features(
                     "media decode requires an image/audio codec library "
                     "(PIL/torchaudio/ffmpeg) not present in this environment"
                 )
-            # Deterministic fake decode: feature i = code point of the
-            # (i mod len)-th character of the UTF-8-decoded payload. For
-            # ASCII payloads this equals the raw byte value; the
-            # char-based definition keeps an exact DuckDB rendering
-            # (decode_features_sql) for the driver's value-hash oracle.
-            feats = [
-                [
-                    float(ord(s[i % len(s)])) if s else 0.0
-                    for i in range(n_features)
-                ]
-                for s in (b.decode("utf-8") for b in pdf["payload"])
-            ]
+            big, lens, offsets = _batch_bytes(pdf["payload"])
+            if kernel == "python" or (big.size and big.max() >= 128):
+                # Non-ASCII: byte != char position; take the exact path.
+                feats = _decode_python(pdf)
+            else:
+                safe = np.maximum(lens, 1)
+                pos = offsets[:, None] + (np.arange(n_features)[None, :] % safe[:, None])
+                mat = (
+                    big[pos].astype(np.float32)
+                    if big.size
+                    else np.zeros((len(lens), n_features), np.float32)
+                )
+                mat[lens == 0] = 0.0
+                feats = mat.tolist()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].str.len().astype("int32"),
+                    "n_bytes": lens.astype("int32"),
                     "feature": feats,
                 }
             )
@@ -206,7 +235,8 @@ RESIZE_BUCKETS = 8
 
 
 def resize_pooled(
-    media: DataFrame, width: int = RESIZE_BUCKETS, decode_stub: str = "fake"
+    media: DataFrame, width: int = RESIZE_BUCKETS, decode_stub: str = "fake",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Resize/downsample through the codec seam: mean-pool the payload
     into ``width`` buckets (position p → bucket p·width/len), one value
@@ -226,6 +256,67 @@ def resize_pooled(
         ]
     )
 
+    def _resize_python(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Reference per-char kernel (kept for the non-ASCII fallback and
+        # the vectorized-equality pin in tests).
+        ids, buckets, vals = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = payload.decode("utf-8")
+            if not s:
+                continue
+            sums = [0] * width
+            counts = [0] * width
+            for p, ch in enumerate(s):
+                b = p * width // len(s)
+                sums[b] += ord(ch)
+                counts[b] += 1
+            for b in range(width):
+                if counts[b]:
+                    ids.append(doc_id)
+                    buckets.append(b)
+                    vals.append(float(sums[b]) / counts[b])
+        return pd.DataFrame(
+            {"doc_id": ids, "bucket": pd.array(buckets, dtype="int32"), "v": vals}
+        )
+
+    def _resize_numpy(pdf: pd.DataFrame, big, lens) -> pd.DataFrame:
+        # All-ASCII batch: byte value == code point, so the whole pooling
+        # collapses to two bincounts over the flat buffer. Integer byte
+        # sums are exact in float64 (≤ 255·len ≪ 2^53) and the single
+        # division per bucket is the same IEEE op as the Python kernel —
+        # bit-identical output.
+        keep = lens > 0
+        k_lens = lens[keep]
+        n_kept = len(k_lens)
+        if n_kept == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"),
+                 "bucket": pd.array([], dtype="int32"), "v": []}
+            )
+        doc_idx = np.repeat(np.arange(n_kept), k_lens)
+        local = np.arange(k_lens.sum()) - np.repeat(np.cumsum(k_lens) - k_lens, k_lens)
+        if keep.all():
+            k_big = big
+        else:
+            char_keep = np.repeat(keep, lens)
+            k_big = big[char_keep]
+        bucket = local * width // np.repeat(k_lens, k_lens)
+        key = doc_idx * width + bucket
+        minlen = n_kept * width
+        sums = np.bincount(key, weights=k_big.astype(np.float64), minlength=minlen)
+        counts = np.bincount(key, minlength=minlen)
+        mask = counts > 0
+        k_ids = pdf["doc_id"].to_numpy()[keep]
+        out_ids = np.repeat(k_ids, width)[mask]
+        out_buckets = np.tile(np.arange(width, dtype=np.int32), n_kept)[mask]
+        return pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "bucket": pd.array(out_buckets, dtype="int32"),
+                "v": sums[mask] / counts[mask],
+            }
+        )
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
@@ -233,25 +324,11 @@ def resize_pooled(
                     "media resize requires a codec library (PIL/librosa) "
                     "not present in this environment"
                 )
-            ids, buckets, vals = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = payload.decode("utf-8")
-                if not s:
-                    continue
-                sums = [0] * width
-                counts = [0] * width
-                for p, ch in enumerate(s):
-                    b = p * width // len(s)
-                    sums[b] += ord(ch)
-                    counts[b] += 1
-                for b in range(width):
-                    if counts[b]:
-                        ids.append(doc_id)
-                        buckets.append(b)
-                        vals.append(float(sums[b]) / counts[b])
-            yield pd.DataFrame(
-                {"doc_id": ids, "bucket": pd.array(buckets, dtype="int32"), "v": vals}
-            )
+            big, lens, _ = _batch_bytes(pdf["payload"])
+            if kernel == "python" or (big.size and big.max() >= 128):
+                yield _resize_python(pdf)
+            else:
+                yield _resize_numpy(pdf, big, lens)
 
     return media.mapInPandas(_resize, schema=schema)
 

@@ -11,6 +11,7 @@ from log_formatter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     attach_payload,
     decode_features,
+    resize_pooled,
 )
 
 
@@ -55,3 +56,36 @@ def test_empty_payload_safe(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     out = decode_features(attach_payload(df)).collect()
     assert out[0]["feature"] == [0.0, 0.0, 0.0, 0.0]
+    assert resize_pooled(attach_payload(df)).collect() == []
+
+
+def _rows(df, key):
+    return sorted((tuple(r) for r in df.collect()), key=lambda t: t[: len(key)])
+
+
+def test_vectorized_kernels_equal_python_reference(spark, docs):
+    """The numpy fast path must be bit-identical to the per-row Python
+    kernel (integer byte sums are exact; one IEEE division per bucket)."""
+    media = attach_payload(docs)
+    fast = _rows(decode_features(media, n_features=6), ("doc_id",))
+    ref = _rows(decode_features(media, n_features=6, kernel="python"), ("doc_id",))
+    assert fast == ref
+    fast_r = _rows(resize_pooled(media, width=8), ("doc_id", "bucket"))
+    ref_r = _rows(resize_pooled(media, width=8, kernel="python"), ("doc_id", "bucket"))
+    assert fast_r == ref_r
+
+
+def test_non_ascii_batch_falls_back_exactly(spark):
+    """A non-ASCII payload flips the batch to the char-exact Python
+    kernel; features are code points, not bytes."""
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "plain ascii"), (3, "")],
+        "doc_id long, text string",
+    )
+    media = attach_payload(df)
+    out = {r["doc_id"]: r["feature"] for r in decode_features(media, n_features=3).collect()}
+    assert out[1] == [float(ord("h")), float(ord("é")), float(ord("l"))]
+    assert out[3] == [0.0, 0.0, 0.0]
+    fast_r = _rows(resize_pooled(media, width=4), ("doc_id", "bucket"))
+    ref_r = _rows(resize_pooled(media, width=4, kernel="python"), ("doc_id", "bucket"))
+    assert fast_r == ref_r
