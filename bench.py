@@ -52,6 +52,8 @@ HEADLINE = [
     "pricing_summary",
     "segment_top_orders",
     "regional_revenue",
+    # round 3: lexical retrieval (sparse half of hybrid search)
+    "bm25_topk",
 ]
 
 

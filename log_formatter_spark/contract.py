@@ -39,6 +39,7 @@ from log_formatter_spark.operators import (
     corpus,
     dedup,
     olap,
+    retrieval,
     sessions,
     similarity,
 )
@@ -659,6 +660,7 @@ _GATE_ORDER = [
     "parse_extract",
     "parse_grok",
     "similarity_topk",
+    "bm25_topk",
     "asof_last_click",
     "dedup_minhash_signatures",
     "parse_labels",
@@ -820,6 +822,8 @@ def _catalog() -> dict[str, QueryFn]:
             _dataset_split(s, d),
         ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
+        # lexical retrieval (sparse half of hybrid search)
+        "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
         # n_anchors pinned (not auto-sized) for the static SQL oracle
@@ -939,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL
         ),
         "source_profile": corpus.source_profile_sql(),
+        "bm25_topk": retrieval.bm25_topk_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),

@@ -1,0 +1,205 @@
+"""Lexical retrieval: BM25 top-k over the documents table.
+
+A training-data pipeline needs lexical retrieval both for corpus
+curation (query-based slicing, contamination probes against eval sets)
+and as the sparse half of hybrid search next to the ANN operators in
+:mod:`log_formatter_spark.operators.similarity`. This is the classic
+Robertson/Sparck-Jones BM25 (k1/b form), expressed as three small
+hash aggregates — no UDFs, no crossJoin.
+
+Spark-first shape (and the 100 TB story):
+
+- docs that share no term with the query are pruned BEFORE the explode
+  by an ``arrays_overlap`` against the literal term array (predicate on
+  the scan side, no shuffle);
+- term frequencies shuffle on ``(doc_id, term)`` — partial aggregation
+  applies, and the term filter means only query-matching postings move;
+- per-document scores are ONE more ``doc_id`` aggregate with a fixed
+  conditional-sum column per query term (term count is query-sized, so
+  column count is bounded and addition order is pinned — see below);
+- the final top-k is ``TakeOrderedAndProject`` (orderBy + limit), no
+  global sort.
+
+Cross-engine exactness (the DuckDB oracle hash-matches bit-for-bit):
+
+- ``idf`` needs a transcendental ``ln``; Spark's JVM ``Math.log``
+  differs from DuckDB's libm in the last ulp on ~7% of inputs
+  (measured), so idf is computed DRIVER-side with Python ``math.log``
+  (glibc, bit-identical to DuckDB's ``ln`` — pinned by
+  ``tests/test_retrieval.py::test_python_log_matches_duckdb``) and
+  injected as per-term double literals. The ln argument
+  ``(N - df + 0.5) / (df + 0.5) + 1`` is one exact-integer division,
+  so both engines feed ln the identical double. The df lookup is a
+  driver-sized collect (``len(terms)`` rows) — the one intentional
+  driver round-trip, same as the memoized LSH anchors.
+- every other float op (``dl/avgdl``, the tf normalization chain, the
+  final term-sum) is ``+ * /`` on doubles in a pinned association
+  order, identical in both renderings — IEEE correct rounding makes
+  them bit-equal without tolerance.
+- ties in the top-k boundary are broken by ``doc_id``.
+
+Reference parity: the reference has no retrieval layer (its formatters
+stop at regex extraction, agent/pipeline/formatter/parser.go); this is
+part of the §2.5 training-data surface, like dedup and ANN.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions.text import TOKENS_SQL, tokens
+
+# Default contract query: mixed-df terms so idf actually varies.
+DEFAULT_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "window", "vector", "stream")
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a fixed bag of query terms.
+
+    Returns ``(doc_id, n_terms, score)`` — ``n_terms`` is how many
+    distinct query terms the document contains.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    term_lit = F.array(*[F.lit(t) for t in query_terms])
+
+    # Corpus stats. N and avgdl cover ALL docs (not just matches).
+    n_docs, sum_dl = toks.select(
+        F.count(F.lit(1)), F.sum(F.size("toks"))
+    ).first()
+    sum_dl = int(sum_dl or 0)
+    # One double division, mirrored exactly in the oracle.
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+
+    # Postings for query terms only; the arrays_overlap prunes
+    # non-matching docs before the explode.
+    postings = (
+        toks.where(F.arrays_overlap("toks", term_lit))
+        .select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+    # Driver-side idf: df per term (driver-sized collect), Python ln.
+    df_rows = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    dfs = {r["term"]: r["df"] for r in df_rows}
+    idf = {
+        t: math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0)
+        for t in query_terms
+    }
+
+    # tf normalization in pinned association order (oracle mirrors it):
+    # tfn = (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl)))
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    tfn = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl_d / F.lit(avgdl)))
+    )
+    scored = postings.select(
+        "doc_id",
+        "term",
+        (F.lit(1).cast("long")).alias("one"),
+        tfn.alias("tfn"),
+    )
+
+    # One conditional-sum column per query term: each (doc, term) row is
+    # unique post-aggregation, so the "sum" is a single value and the
+    # cross-term addition happens once, left-to-right, below.
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("tfn"))).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("one").cast("int").alias("n_terms"), *aggs
+    )
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        score = score + F.coalesce(F.col(f"_s{i}") * F.lit(idf[t]), F.lit(0.0))
+    return (
+        per_doc.select("doc_id", "n_terms", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    src: str = "documents",
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering — same stats, same pinned float-op order; idf
+    via DuckDB ``ln`` over the identical exact-rational argument."""
+    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    toks = TOKENS_SQL.format(x=text_col)
+    cond_sums = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN tfn END) AS _s{i}"
+        for i, t in enumerate(query_terms)
+    )
+    score = "0.0"
+    for i, t in enumerate(query_terms):
+        idf = (
+            f"ln((stats.n_docs - COALESCE(df.df_{i}, 0) + 0.5)"
+            f" / (COALESCE(df.df_{i}, 0) + 0.5) + 1.0)"
+        )
+        score = f"{score} + COALESCE(_s{i} * {idf}, 0.0)"
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {src}
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM toks
+),
+postings AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM postings WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+df AS (
+  -- tf rows are unique per (doc, term), so counting them per term IS df
+  SELECT {df_cols} FROM tf
+),
+scored AS (
+  SELECT doc_id, term,
+         (CAST(tf AS DOUBLE) * {k1 + 1.0}) /
+         (CAST(tf AS DOUBLE) + {k1} * ({1.0 - b} + {b} * (CAST(dl AS DOUBLE) / avgdl))) AS tfn
+  FROM tf, stats
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         {cond_sums}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, {score} AS score
+FROM per_doc, stats, df
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""

@@ -1,0 +1,84 @@
+"""BM25 retrieval tests.
+
+Three layers:
+
+1. the cross-engine determinism precondition — Python ``math.log``
+   must bit-match DuckDB's ``ln`` on this box (both glibc libm); the
+   operator injects driver-computed idf literals on that basis, because
+   Spark's JVM ``Math.log`` measurably does NOT bit-match
+   (~7% last-ulp divergence, measured in round 3);
+2. a brute-force pure-Python BM25 over the collected corpus —
+   score-by-score within float tolerance and exact top-k membership;
+3. empty-input robustness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from log_formatter_spark.operators.retrieval import DEFAULT_QUERY_TERMS, bm25_topk
+
+
+def test_python_log_matches_duckdb():
+    """Pin the idf determinism basis: math.log == DuckDB ln bit-for-bit
+    over the rational arguments BM25 idf actually produces."""
+    con = duckdb.connect()
+    args = [
+        (n - df + 0.5) / (df + 0.5) + 1.0
+        for n in (1, 10, 500, 10_000, 1_000_000)
+        for df in (0, 1, 2, 7, n // 3 + 1, n)
+    ]
+    for x in args:
+        (duck_ln,) = con.execute("SELECT ln(CAST(? AS DOUBLE))", [x]).fetchone()
+        assert math.log(x) == duck_ln, f"ln({x}): {math.log(x)!r} != {duck_ln!r}"
+
+
+def _brute_bm25(rows, terms, k1=1.2, b=0.75):
+    toks = {r["doc_id"]: [t for t in r["text"].lower().split(" ") if t] for r in rows}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    idf = {t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in terms}
+    out = {}
+    for d, v in toks.items():
+        s, nt = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            nt += 1
+            dl = len(v)
+            s += idf[t] * (tf * (k1 + 1.0)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+        if nt:
+            out[d] = (nt, s)
+    return out
+
+
+def test_bm25_matches_bruteforce(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    expect = _brute_bm25(rows, DEFAULT_QUERY_TERMS)
+    got = bm25_topk(docs, k=30).collect()
+    assert len(got) == min(30, len(expect))
+    # top-k set: every returned doc must out-score (or tie at the
+    # boundary with lower doc_id than) every excluded doc
+    returned = {r["doc_id"] for r in got}
+    floor = min(expect[d][1] for d in returned)
+    better = sorted(
+        (d for d, (_, s) in expect.items() if s > floor + 1e-9), key=lambda d: d
+    )
+    assert set(better) <= returned
+    for r in got:
+        nt, s = expect[r["doc_id"]]
+        assert r["n_terms"] == nt
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_bm25_empty_input(spark, sf_dir):
+    empty = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    out = bm25_topk(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_terms", "score"]
