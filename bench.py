@@ -52,8 +52,9 @@ HEADLINE = [
     "pricing_summary",
     "segment_top_orders",
     "regional_revenue",
-    # round 3: lexical retrieval (sparse half of hybrid search)
+    # round 3: lexical retrieval + RRF hybrid fusion
     "bm25_topk",
+    "hybrid_rrf",
 ]
 
 

@@ -661,6 +661,7 @@ _GATE_ORDER = [
     "parse_grok",
     "similarity_topk",
     "bm25_topk",
+    "hybrid_rrf",
     "asof_last_click",
     "dedup_minhash_signatures",
     "parse_labels",
@@ -822,8 +823,9 @@ def _catalog() -> dict[str, QueryFn]:
             _dataset_split(s, d),
         ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
-        # lexical retrieval (sparse half of hybrid search)
+        # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
+        "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
         # n_anchors pinned (not auto-sized) for the static SQL oracle
@@ -944,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_profile": corpus.source_profile_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
+        "hybrid_rrf": retrieval.rrf_hybrid_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),

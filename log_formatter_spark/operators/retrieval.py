@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.text import TOKENS_SQL, tokens
@@ -201,5 +201,100 @@ per_doc AS (
 SELECT doc_id, n_terms, {score} AS score
 FROM per_doc, stats, df
 ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+
+
+def rrf_hybrid(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical list with the dense cosine
+    list by reciprocal-rank fusion.
+
+    ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))`` — rank-based, so the
+    fusion needs no score normalization across heterogeneous scorers
+    (the reason RRF is the standard hybrid baseline). The dense list is
+    the exact cosine top-``depth`` for the lowest-id vector as the
+    query (the same deterministic query convention as ``brute_topk``);
+    doc ids and vec ids share one id space.
+
+    100 TB shape: each list is top-``depth`` (query-sized, corpus-
+    independent), so the fusion itself — a full-outer join of two
+    ``depth``-row sets plus one window — costs O(depth) no matter the
+    corpus size; all heavy lifting stays inside the two already-scaled
+    retrieval operators. At production depth the dense side swaps to
+    ``lsh_topk``/``ivf_topk``; the exact list is the oracle anchor.
+
+    Exactness: ranks are integers; ``1/(rrf_k+rank)`` is one double
+    division and the two-term add is pinned lexical-then-dense, so the
+    DuckDB rendering hash-matches bit-for-bit.
+    """
+    from log_formatter_spark.operators.similarity import brute_topk
+
+    lex = bm25_topk(docs, query_terms, k=depth).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    dense = brute_topk(emb, k=depth, n_queries=1).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    one = F.lit(1.0)
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(one / (F.lit(rrf_k) + F.col("lex_rank")).cast("double"), F.lit(0.0))
+            + F.coalesce(
+                one / (F.lit(rrf_k) + F.col("dense_rank")).cast("double"), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+
+
+def rrf_hybrid_sql(
+    docs_src: str = "documents",
+    emb_src: str = "embeddings",
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = RRF_K,
+) -> str:
+    """DuckDB rendering: the two operator oracles as subqueries, the
+    identical pinned-order fusion arithmetic on top."""
+    from log_formatter_spark.operators.similarity import brute_topk_sql
+
+    bm25 = bm25_topk_sql(src=docs_src, query_terms=query_terms, k=depth)
+    dense = brute_topk_sql(src=emb_src, k=depth, n_queries=1)
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+  FROM ({bm25})
+),
+dense AS (
+  SELECT neighbor_id AS doc_id, rank AS dense_rank FROM ({dense})
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         COALESCE(CAST(1 AS DOUBLE) / CAST({rrf_k} + l.lex_rank AS DOUBLE), 0.0)
+         + COALESCE(CAST(1 AS DOUBLE) / CAST({rrf_k} + d.dense_rank AS DOUBLE), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id
 LIMIT {k}
 """

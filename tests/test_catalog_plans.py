@@ -14,7 +14,9 @@ from log_formatter_spark import contract
 # blocks (their bucketed scale paths are separate catalog entries):
 #   dedup_embedding  — all-pairs exact near-dup (anchor for the LSH path)
 #   similarity_topk  — broadcast non-equi join, query side tiny by design
-CROSS_PRODUCT_OK = {"dedup_embedding", "similarity_topk"}
+#   hybrid_rrf       — embeds similarity_topk's exact dense list as the
+#                      oracle anchor (production depth swaps in lsh/ivf)
+CROSS_PRODUCT_OK = {"dedup_embedding", "similarity_topk", "hybrid_rrf"}
 
 # streaming_pipeline_counts executes a full streaming job on call, and
 # its result is a read of materialized output — no single plan to audit

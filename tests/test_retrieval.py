@@ -77,6 +77,70 @@ def test_bm25_matches_bruteforce(spark, sf_dir):
         assert r["score"] == pytest.approx(s, rel=1e-12)
 
 
+def _unit(v):
+    ss = 0.0
+    for x in v:  # left-to-right fold, mirroring Spark's HOF aggregate
+        ss = ss + x * x
+    n = math.sqrt(ss)
+    return [x / n for x in v]
+
+
+def test_rrf_matches_bruteforce(spark, sf_dir):
+    from log_formatter_spark.operators.retrieval import RRF_K, rrf_hybrid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    depth, k = 50, 20
+
+    lex_scores = _brute_bm25(docs.select("doc_id", "text").collect(), DEFAULT_QUERY_TERMS)
+    lex_list = sorted(lex_scores, key=lambda d: (-lex_scores[d][1], d))[:depth]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_list)}
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    q = _unit(vecs[min(vecs)])
+    cos = {}
+    for vid, v in vecs.items():
+        if vid == min(vecs):
+            continue
+        u, s = _unit(v), 0.0
+        for a, b in zip(q, u):
+            s = s + a * b
+        cos[vid] = s
+    dense_list = sorted(cos, key=lambda d: (-cos[d], d))[:depth]
+    dense_rank = {d: i + 1 for i, d in enumerate(dense_list)}
+
+    fused = {
+        d: (1.0 / (RRF_K + lex_rank[d]) if d in lex_rank else 0.0)
+        + (1.0 / (RRF_K + dense_rank[d]) if d in dense_rank else 0.0)
+        for d in set(lex_rank) | set(dense_rank)
+    }
+    expect = sorted(fused, key=lambda d: (-fused[d], d))[:k]
+
+    got = rrf_hybrid(docs, emb, k=k, depth=depth).collect()
+    assert [r["doc_id"] for r in got] == expect
+    for r in got:
+        assert r["lex_rank"] == lex_rank.get(r["doc_id"])
+        assert r["dense_rank"] == dense_rank.get(r["doc_id"])
+        assert r["rrf"] == pytest.approx(fused[r["doc_id"]], rel=1e-12)
+
+
+def test_rrf_empty_inputs(spark, sf_dir):
+    from log_formatter_spark.operators.retrieval import rrf_hybrid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = rrf_hybrid(docs.limit(0), emb.limit(0))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lex_rank", "dense_rank", "rrf"]
+    # one-sided: empty dense list must still yield the lexical ranking
+    lex_only = rrf_hybrid(docs, emb.limit(0), k=5).collect()
+    assert [r["lex_rank"] for r in lex_only] == [1, 2, 3, 4, 5]
+    assert all(r["dense_rank"] is None for r in lex_only)
+
+
 def test_bm25_empty_input(spark, sf_dir):
     empty = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
     out = bm25_topk(empty)
