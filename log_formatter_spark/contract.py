@@ -662,6 +662,9 @@ _GATE_ORDER = [
     "similarity_topk",
     "bm25_topk",
     "hybrid_rrf",
+    "source_quota_sample",
+    "hash_sample",
+    "bigram_lm",
     "asof_last_click",
     "dedup_minhash_signatures",
     "parse_labels",
@@ -823,6 +826,11 @@ def _catalog() -> dict[str, QueryFn]:
             _dataset_split(s, d),
         ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
+        # corpus sampling (mixing-weights curation)
+        "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
+        "hash_sample": lambda s, d: corpus.hash_sample(_docs(s, d)),
+        # n-gram LM statistics
+        "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
@@ -945,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
             dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL
         ),
         "source_profile": corpus.source_profile_sql(),
+        "source_quota_sample": corpus.source_quota_sample_sql(),
+        "hash_sample": corpus.hash_sample_sql(),
+        "bigram_lm": olap.bigram_lm_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),

@@ -215,3 +215,150 @@ SELECT d.source, l.lang_pred, count(*) AS n_docs,
 FROM {src} d JOIN langs l ON d.doc_id = l.doc_id
 GROUP BY d.source, l.lang_pred
 """
+
+
+# --- corpus sampling ------------------------------------------------------
+
+QUOTA_PER_SOURCE = 10
+
+# Deterministic per-source sampling rates for hash_sample's contract
+# configuration: two named tiers plus a default, so the threshold CASE
+# is exercised on every branch.
+SAMPLE_RATES: dict[str, float] = {"src0": 1.0, "src1": 0.75}
+SAMPLE_DEFAULT_RATE = 0.4
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    quota: int = QUOTA_PER_SOURCE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality quota: keep the ``quota`` highest-quality docs
+    from each ingest source — the standard mixing-weights curation step
+    (cap boilerplate-heavy sources, keep the best of each).
+
+    Plan: the quality score is the same single-scan map-only projection
+    as ``corpus_filter`` (bit-identical doubles, same expression
+    family), then ONE window ``row_number`` over ``source``. Spark ≥3.5
+    rewrites ``row_number <= k`` into WindowGroupLimit: each input
+    partition pre-prunes to its local top-``quota`` BEFORE the
+    exchange, so the shuffle moves O(partitions × quota) rows, not the
+    corpus — per-source skew (one giant source) cannot concentrate more
+    than ``quota`` surviving rows on any reducer. Ordering ties break
+    by doc_id for a total order.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(toks).alias("_n_tokens"),
+        tok_chars_expr(toks).alias("_tok_chars"),
+        _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+    ).select(
+        id_col,
+        "source",
+        quality_expr(F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")).alias(
+            "quality_score"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    return (
+        base.withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("src_rank") <= quota)
+        .select(id_col, "source", "quality_score", "src_rank")
+    )
+
+
+def source_quota_sample_sql(
+    src: str = "documents",
+    quota: int = QUOTA_PER_SOURCE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL, _stop_hits_sql
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, source,
+         CAST(len({toks}) AS INTEGER) AS _n_tokens,
+         CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _tok_chars,
+         {_stop_hits_sql(toks, STOPWORDS)} AS _n_stop
+  FROM {src}
+),
+scored AS (
+  SELECT {id_col}, source,
+         0.4 * least(1.0, _n_tokens / 100.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / _n_tokens - 5.0) / 5.0)
+       + 0.3 * least(1.0, (_n_stop / _n_tokens) * 4.0) AS quality_score
+  FROM base
+)
+SELECT {id_col}, source, quality_score, src_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC, {id_col}) AS INTEGER) AS src_rank
+  FROM scored
+) WHERE src_rank <= {quota}
+"""
+
+
+def hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling: keep a doc iff its
+    60-bit md5 coin lands under the source's rate threshold.
+
+    The mixing-ratio workhorse: re-weight sources (up/down-sample) with
+    a sample that is (a) reproducible run-to-run and engine-to-engine —
+    the coin is md5 of the doc id, not a PRNG — and (b) stable under
+    corpus growth: a doc's keep/drop never changes when other docs
+    arrive, so incremental ingestion never resamples history (the
+    property random-split by fraction lacks). Map-only: a literal CASE
+    threshold per source, one integer compare, no shuffle, no
+    collect. Thresholds are exact int64 literals computed once
+    driver-side (``int(rate * 2^60)``), so both engines compare the
+    same integers.
+    """
+    from log_formatter_spark.functions.hashing import md5_60
+
+    rates = SAMPLE_RATES if rates is None else rates
+    thr = F.lit(int(default_rate * (1 << 60)))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(int(r * (1 << 60)))).otherwise(thr)
+    coin = md5_60(F.concat(F.lit("sample:"), F.col(id_col).cast("string")))
+    return (
+        docs.select(F.col(id_col), F.col(source_col).alias("source"), coin.alias("coin"))
+        .where(F.col("coin") < thr)
+        .select(id_col, "source", "coin")
+    )
+
+
+def hash_sample_sql(
+    src: str = "documents",
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    rates = SAMPLE_RATES if rates is None else rates
+    branches = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(r * (1 << 60))}"
+        for s, r in sorted(rates.items(), reverse=True)
+    )
+    coin = MD5_60_SQL.format(x=f"'sample:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {id_col}, {source_col} AS source, coin FROM (
+  SELECT {id_col}, {source_col}, {coin} AS coin,
+         CASE {branches} ELSE {int(default_rate * (1 << 60))} END AS thr
+  FROM {src}
+) WHERE coin < thr
+"""

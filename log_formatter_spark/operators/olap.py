@@ -291,3 +291,69 @@ SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
        {cols}
 FROM {src} GROUP BY hour(ts)
 """
+
+
+def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Bigram language-model counts with MLE conditional probability:
+    ``P(w2|w1) = n(w1,w2) / n(w1,·)`` — the n-gram-statistics primitive
+    for corpus analysis (and the first stage of any count-based LM or
+    phrase-mining pass).
+
+    Plan: adjacent-pair explode (arrays_zip of the two shifted slices,
+    map-only) → (w1, w2) counts (map-side combinable) → context totals
+    as a window sum over ``w1`` on the ALREADY-AGGREGATED bigram table
+    (vocabulary², not corpus, sized) → one double division. The
+    ``min_count`` filter applies after context totals, so probabilities
+    stay exact over the full distribution.
+    """
+    from log_formatter_spark.functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    pairs = docs.select(toks.alias("_toks")).select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_toks, 1, greatest(size(_toks) - 1, 0))"),
+                F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
+            )
+        ).alias("bg")
+    )
+    counts = (
+        pairs.select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ctx = Window.partitionBy("w1")
+    return (
+        counts.withColumn("ctx_n", F.sum("n").over(ctx))
+        .where(F.col("n") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "ctx_n",
+            (F.col("n").cast("double") / F.col("ctx_n").cast("double")).alias("prob"),
+        )
+    )
+
+
+def bigram_lm_sql(src: str = "documents", min_count: int = 5) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+WITH t AS (
+  SELECT {toks} AS toks FROM {src}
+),
+pairs AS (
+  SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg FROM t
+),
+counts AS (
+  SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT w1, w2, n, ctx_n,
+       CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS prob
+-- HUGEINT window sum -> pandas float64 unless cast (the events_pivot class)
+FROM (SELECT *, CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM counts)
+WHERE n >= {min_count}
+"""
