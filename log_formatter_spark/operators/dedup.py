@@ -546,6 +546,7 @@ def cluster_pairs(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup clusters: every doc gets
     ``cluster_id`` = the minimum doc id in its connected component, and
@@ -555,7 +556,14 @@ def cluster_pairs(
     duplicates (a~b, b~c must drop two docs, not be counted as two
     independent pairs).
 
-    Algorithm: iterative min-label propagation over the symmetrized
+    ``algorithm="star"`` (default, round-3): alternating large-star/
+    small-star contraction (:func:`star_components`) — O(log² n) rounds
+    on any graph, so adversarially long path components cannot exhaust
+    ``max_iter``. ``algorithm="minlabel"`` keeps the original
+    propagation below (O(diameter) rounds); both produce identical
+    output (equality-tested on random graphs and a 300-node chain).
+
+    minlabel algorithm: iterative min-label propagation over the symmetrized
     edge set, a driver-controlled loop of joins — connected components
     is iterative by nature, so the driver loop IS the idiomatic Spark
     shape (cf. GraphX/GraphFrames CC). Each round: every node takes the
@@ -588,6 +596,24 @@ def cluster_pairs(
     with :func:`release_backing_cache`.
     """
     import warnings
+
+    if algorithm == "star":
+        mapping = star_components(pairs, a_col=a_col, b_col=b_col, max_iter=max_iter)
+        return (
+            docs.select(F.col(id_col))
+            .join(mapping, F.col(id_col) == F.col("id"), "left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+            .select(
+                id_col,
+                "cluster_id",
+                (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+            )
+        )
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r} (star|minlabel)")
 
     nodes = docs.select(F.col(id_col))
     edges = pairs.select(
@@ -641,6 +667,98 @@ def cluster_pairs(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_survivor"),
     )
+
+
+def star_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list via alternating
+    large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round every node hooks its neighbors onto
+    its neighborhood minimum, which provably converges in O(log² n)
+    rounds on ANY graph — including the path-shaped adversarial
+    components where plain min-label propagation needs
+    O(component diameter) rounds (the ADVICE-r2 long-chain weakness).
+
+    Returns ``(id, cluster_id)`` for every NON-ROOT node of the edge
+    set (at the fixpoint the edge set IS the component star: one
+    ``(node, component-min)`` row per non-root node). Roots and
+    isolated nodes are the caller's coalesce.
+
+    Invariant carried between rounds: every edge is oriented
+    high → low (``src > dst``). Large-star emits ``(v, m(u))`` only for
+    neighbors ``v > u ≥ m(u)``; small-star emits ``(w, m(u))`` with
+    ``w > m(u)`` by minimality — so the orientation is self-restoring
+    and self-loops cannot appear. Each round is two grouped mins and
+    two equality joins — the same shuffle primitives as one min-label
+    round — plus a distinct; ``localCheckpoint`` truncates lineage and
+    superseded checkpoints are released eagerly (same storage hygiene
+    as :func:`cluster_pairs`). Convergence = edge-set fixpoint, checked
+    exactly (count equality + empty exceptAll), not probabilistically.
+    """
+    import warnings
+
+    E = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("src"),
+            F.least(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = E.count()
+    converged = False
+    try:
+        for _ in range(max_iter):
+            sym = E.unionAll(
+                E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            mins = (
+                sym.groupBy("src")
+                .agg(F.min("dst").alias("_mn"))
+                .select("src", F.least("src", "_mn").alias("m"))
+            )
+            large = (
+                sym.join(mins, "src")
+                .where(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .distinct()
+            )
+            # small-star over the (already high→low) large-star output
+            mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+            new_e = (
+                large.join(mins2, "src")
+                .where(F.col("dst") != F.col("m"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .unionAll(mins2.select("src", F.col("m").alias("dst")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_n = new_e.count()
+            fixpoint = (
+                new_n == n_edges and new_e.exceptAll(E).limit(1).count() == 0
+            )
+            release_backing_cache(E)
+            E, n_edges = new_e, new_n
+            if fixpoint:
+                converged = True
+                break
+        if not converged:
+            warnings.warn(
+                f"star_components: no fixpoint in {max_iter} rounds "
+                f"(theoretical bound is O(log² n) — raise max_iter)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return E.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    except Exception:
+        release_backing_cache(E)
+        raise
 
 
 def release_backing_cache(df: DataFrame) -> bool:
