@@ -546,7 +546,8 @@ def cluster_pairs(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    minlabel_rounds: int = 8,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup clusters: every doc gets
     ``cluster_id`` = the minimum doc id in its connected component, and
@@ -556,12 +557,24 @@ def cluster_pairs(
     duplicates (a~b, b~c must drop two docs, not be counted as two
     independent pairs).
 
-    ``algorithm="star"`` (default, round-3): alternating large-star/
-    small-star contraction (:func:`star_components`) — O(log² n) rounds
-    on any graph, so adversarially long path components cannot exhaust
-    ``max_iter``. ``algorithm="minlabel"`` keeps the original
-    propagation below (O(diameter) rounds); both produce identical
-    output (equality-tested on random graphs and a 300-node chain).
+    ``algorithm`` (round-3, after measuring both at 10×):
+
+    - ``"minlabel"`` — the propagation below: ONE cheap round
+      (join + grouped min) per unit of component diameter. Real
+      near-dup components are shallow (LSH-bucket cliques), so this
+      converges in 2-3 rounds and is ~3× faster than star on the
+      10× corpus (8.6 s vs 28.4 s, identical output) — but a
+      path-shaped component needs O(diameter) rounds.
+    - ``"star"`` — alternating large-star/small-star contraction
+      (:func:`star_components`): heavier per round (two grouped mins,
+      two joins, two distincts) but O(log² n) rounds on ANY graph.
+    - ``"auto"`` (default) — minlabel for ``minlabel_rounds`` silent
+      rounds (covers every realistic dedup graph at the cheap rate),
+      then escalates to star iff unconverged, so adversarial chains
+      stay bounded without taxing the common case. Escalation restarts
+      from the raw pairs — at most ``minlabel_rounds`` wasted cheap
+      rounds, and only on graphs where star's asymptotics dominate
+      anyway.
 
     minlabel algorithm: iterative min-label propagation over the symmetrized
     edge set, a driver-controlled loop of joins — connected components
@@ -612,8 +625,9 @@ def cluster_pairs(
                 (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
             )
         )
-    if algorithm != "minlabel":
-        raise ValueError(f"unknown algorithm {algorithm!r} (star|minlabel)")
+    if algorithm not in ("minlabel", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r} (auto|star|minlabel)")
+    rounds = minlabel_rounds if algorithm == "auto" else max_iter
 
     nodes = docs.select(F.col(id_col))
     edges = pairs.select(
@@ -625,7 +639,7 @@ def cluster_pairs(
     labels = labels.localCheckpoint(eager=True)
     converged = False
     try:
-        for _ in range(max_iter):
+        for _ in range(rounds):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.id)
                 .groupBy(F.col("dst").alias("id"))
@@ -650,6 +664,14 @@ def cluster_pairs(
                 converged = True
                 break
         if not converged:
+            if algorithm == "auto":
+                # a component outlived the cheap rounds — hand the raw
+                # pairs to the O(log² n) contraction instead
+                release_backing_cache(labels)
+                return cluster_pairs(
+                    docs, pairs, id_col=id_col, a_col=a_col, b_col=b_col,
+                    max_iter=max_iter, algorithm="star",
+                )
             # falling through silently would hand back WRONG cluster_ids
             # (a component with diameter > max_iter is only partially
             # contracted) — surface it (ADVICE r2)

@@ -91,3 +91,11 @@ def test_star_converges_where_minlabel_cannot(spark, recwarn):
         W.simplefilter("always")
         cluster_pairs(docs, pairs, algorithm="minlabel", max_iter=20).collect()
     assert [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+    # the default auto path must escalate minlabel -> star and solve
+    # the chain exactly, silently
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        out = cluster_pairs(docs, pairs, minlabel_rounds=4).collect()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert {r["cluster_id"] for r in out} == {0}
