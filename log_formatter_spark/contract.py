@@ -665,6 +665,7 @@ _GATE_ORDER = [
     "source_quota_sample",
     "hash_sample",
     "bigram_lm",
+    "doc_lm_score",
     "asof_last_click",
     "dedup_minhash_signatures",
     "parse_labels",
@@ -829,8 +830,9 @@ def _catalog() -> dict[str, QueryFn]:
         # corpus sampling (mixing-weights curation)
         "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
         "hash_sample": lambda s, d: corpus.hash_sample(_docs(s, d)),
-        # n-gram LM statistics
+        # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
+        "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
         # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
@@ -956,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quota_sample": corpus.source_quota_sample_sql(),
         "hash_sample": corpus.hash_sample_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
+        "doc_lm_score": olap.doc_lm_score_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),

@@ -293,6 +293,28 @@ FROM {src} GROUP BY hour(ts)
 """
 
 
+def _bigram_instances(docs: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Adjacent-token pairs, one row per bigram instance: arrays_zip of
+    the two shifted slices, exploded — map-only. Keeps ``id_col`` when
+    given (per-doc scoring) and drops it otherwise (corpus counts)."""
+    from log_formatter_spark.functions.text import tokens
+
+    keep = [F.col(id_col)] if id_col else []
+    return (
+        docs.select(*keep, tokens(F.col("text")).alias("_toks"))
+        .select(
+            *keep,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(_toks, 1, greatest(size(_toks) - 1, 0))"),
+                    F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
+                )
+            ).alias("bg"),
+        )
+        .select(*keep, F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+
+
 def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Bigram language-model counts with MLE conditional probability:
     ``P(w2|w1) = n(w1,w2) / n(w1,·)`` — the n-gram-statistics primitive
@@ -306,19 +328,8 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     ``min_count`` filter applies after context totals, so probabilities
     stay exact over the full distribution.
     """
-    from log_formatter_spark.functions.text import tokens
-
-    toks = tokens(F.col("text"))
-    pairs = docs.select(toks.alias("_toks")).select(
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(_toks, 1, greatest(size(_toks) - 1, 0))"),
-                F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
-            )
-        ).alias("bg")
-    )
     counts = (
-        pairs.select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        _bigram_instances(docs)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -356,4 +367,87 @@ SELECT w1, w2, n, ctx_n,
 -- HUGEINT window sum -> pandas float64 unless cast (the events_pivot class)
 FROM (SELECT *, CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM counts)
 WHERE n >= {min_count}
+"""
+
+
+# 2^40 — power-of-two fixed-point scale: prob * 2^40 is an EXACT float
+# op (exponent shift), floor is exact, and integer sums are order-free,
+# so the per-doc aggregate is bit-identical across engines and
+# partitionings without any transcendental in sight.
+_LM_FP_SCALE = float(1 << 40)
+
+
+def doc_lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document LM quality score: the mean self-trained bigram
+    probability ``avg P(w_i | w_{i-1})`` — the CCNet-style "LM filter"
+    shape (score docs by how typical their word transitions are for
+    the corpus; boilerplate scores high, lorem-noise scores low),
+    with the mean replacing the usual avg-log-prob so the score stays
+    cross-engine hash-exact: ``ln`` differs by ulps between Spark's
+    JVM and DuckDB's libm (measured, see retrieval.py), while
+    fixed-point ``floor(P·2^40)`` integer sums are exact and
+    order-free. Monotonicity per transition is preserved; only the
+    averaging geometry differs from the log formulation.
+
+    Plan: bigram instances (map-only explode) are counted into the
+    vocabulary²-sized prob table (same shape as :func:`bigram_lm`,
+    ``min_count=1`` so every observed transition scores), which
+    broadcast-joins back onto the instance stream — at 100 TB the
+    corpus-sized side never shuffles on the join key; the only wide
+    exchanges are the bigram count agg and the per-doc sum. Docs with
+    fewer than 2 tokens have no transitions and are excluded (inner
+    join), documented. int64 headroom: sum(fp) < 2^63 needs
+    < 2^23 ≈ 8M bigrams per doc.
+
+    Returns ``(doc_id, n_bigrams, lm_score)``.
+    """
+    inst = _bigram_instances(docs, id_col=id_col)
+    counts = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ctx = Window.partitionBy("w1")
+    probs = counts.withColumn("ctx_n", F.sum("n").over(ctx)).select(
+        "w1",
+        "w2",
+        (F.col("n").cast("double") / F.col("ctx_n").cast("double")).alias("prob"),
+    )
+    scored = inst.join(F.broadcast(probs), ["w1", "w2"]).select(
+        id_col, F.floor(F.col("prob") * F.lit(_LM_FP_SCALE)).alias("fp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        (
+            (F.sum("fp").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(_LM_FP_SCALE)
+        ).alias("lm_score"),
+    )
+
+
+def doc_lm_score_sql(src: str = "documents", id_col: str = "doc_id") -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {toks} AS toks FROM {src}
+),
+inst AS (
+  SELECT {id_col}, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT {id_col}, unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg FROM t
+  )
+),
+counts AS (
+  SELECT w1, w2, count(*) AS n FROM inst GROUP BY 1, 2
+),
+probs AS (
+  SELECT w1, w2, CAST(n AS DOUBLE) /
+         CAST(CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS prob
+  FROM counts
+),
+scored AS (
+  SELECT i.{id_col}, CAST(floor(p.prob * {_LM_FP_SCALE!r}) AS BIGINT) AS fp
+  FROM inst i JOIN probs p ON i.w1 = p.w1 AND i.w2 = p.w2
+)
+SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_bigrams,
+       CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       / {_LM_FP_SCALE!r} AS lm_score
+FROM scored GROUP BY {id_col}
 """

@@ -86,8 +86,32 @@ def test_bigram_lm_bruteforce(spark):
     }
 
 
+def test_doc_lm_score_bruteforce(spark):
+    from log_formatter_spark.operators.olap import doc_lm_score
+
+    rows = [
+        Row(doc_id=0, text="a b a b c"),
+        Row(doc_id=1, text="a b x"),
+        Row(doc_id=2, text="solo"),  # no bigrams -> excluded
+    ]
+    # corpus bigrams: (a,b)x3 (b,a) (b,c) (b,x) -> P(b|a)=1,
+    # P(a|b)=P(c|b)=P(x|b)=1/3
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in doc_lm_score(spark.createDataFrame(rows)).collect()}
+    import math
+    fp = lambda p: math.floor(p * 2**40) / 2**40
+    exp0 = (fp(1.0) + fp(1 / 3) + fp(1.0) + fp(1 / 3)) / 4
+    exp1 = (fp(1.0) + fp(1 / 3)) / 2
+    assert set(out) == {0, 1}
+    assert out[0] == (4, exp0)  # bit-exact by construction
+    assert out[1] == (2, exp1)
+
+
 def test_sampling_empty_inputs(spark, sf_dir):
+    from log_formatter_spark.operators.olap import doc_lm_score
+
     empty = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
     assert source_quota_sample(empty).count() == 0
     assert hash_sample(empty).count() == 0
     assert bigram_lm(empty).count() == 0
+    assert doc_lm_score(empty).count() == 0
