@@ -680,6 +680,8 @@ _GATE_ORDER = [
     "similarity_lsh",
     "dedup_minhash",
     "split_contamination",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
     "dedup_embedding",
     "pipeline_counts_jvm",
     "dedup_simhash",
@@ -843,6 +845,9 @@ def _catalog() -> dict[str, QueryFn]:
             _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
         ),
         "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
+        # in-engine ANN quality dashboards: recall@k vs the exact list
+        "ann_recall_ivf": lambda s, d: similarity.ann_recall(_emb(s, d), method="ivf"),
+        "ann_recall_lsh": lambda s, d: similarity.ann_recall(_emb(s, d), method="lsh"),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
@@ -964,6 +969,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
+        "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),
+        "ann_recall_lsh": similarity.ann_recall_sql(method="lsh"),
         "label_centroids": similarity.label_centroids_sql(),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),

@@ -638,3 +638,79 @@ def train_centroids(
             _ANCHOR_MEMO.clear()
         _ANCHOR_MEMO[memo_key] = out
     return out
+
+
+# --- ANN quality measurement ---------------------------------------------
+
+
+def ann_recall(
+    emb: DataFrame,
+    method: str = "ivf",
+    k: int = 10,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of a bucketed ANN index vs the exact baseline, as a
+    first-class query: ``(q_id, n_hits, recall)`` per query — the
+    index-quality dashboard an ANN deployment watches (recall drifts
+    as the corpus grows away from its anchors/centroids, and this
+    keeps the measurement in-engine instead of in a notebook).
+
+    Exactness: hits are an integer count of (q_id, neighbor_id)
+    matches between the two top-k sets; ``recall = n_hits / k`` is one
+    double division of exact integers. A query whose bucket produced
+    zero overlap still appears (left join from the exact side, which
+    always has k rows per query). The exact baseline inside is the
+    documented broadcast non-equi join — this operator is a
+    measurement harness, priced accordingly (run it on a sample at
+    100 TB, not the corpus).
+    """
+    if method == "ivf":
+        approx = ivf_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        approx = lsh_topk(
+            emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (ivf|lsh)")
+    exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    hits = (
+        exact.select("q_id", "neighbor_id")
+        .join(approx.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = exact.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n", F.lit(0)).cast("int").alias("n_hits"),
+        (F.coalesce("n", F.lit(0)).cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def ann_recall_sql(
+    src: str = "embeddings",
+    method: str = "ivf",
+    k: int = 10,
+    n_queries: int = 8,
+) -> str:
+    approx = (
+        ivf_topk_sql(src, k=k, n_queries=n_queries)
+        if method == "ivf"
+        else lsh_topk_sql(src, k=k, n_queries=n_queries)
+    )
+    exact = brute_topk_sql(src, k=k, n_queries=n_queries)
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx}),
+hits AS (
+  SELECT e.q_id, count(*) AS n
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.q_id
+)
+SELECT q.q_id, CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / {float(k)!r} AS recall
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h ON q.q_id = h.q_id
+"""

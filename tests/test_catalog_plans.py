@@ -16,7 +16,12 @@ from log_formatter_spark import contract
 #   similarity_topk  — broadcast non-equi join, query side tiny by design
 #   hybrid_rrf       — embeds similarity_topk's exact dense list as the
 #                      oracle anchor (production depth swaps in lsh/ivf)
-CROSS_PRODUCT_OK = {"dedup_embedding", "similarity_topk", "hybrid_rrf"}
+#   ann_recall_*     — recall measurement harness: compares the ANN list
+#                      against the exact baseline by definition
+CROSS_PRODUCT_OK = {
+    "dedup_embedding", "similarity_topk", "hybrid_rrf",
+    "ann_recall_ivf", "ann_recall_lsh",
+}
 
 # streaming_pipeline_counts executes a full streaming job on call, and
 # its result is a read of materialized output — no single plan to audit
