@@ -39,6 +39,7 @@ from log_formatter_spark.operators import (
     corpus,
     dedup,
     olap,
+    packing,
     retrieval,
     sessions,
     similarity,
@@ -666,6 +667,8 @@ _GATE_ORDER = [
     "hash_sample",
     "bigram_lm",
     "doc_lm_score",
+    "pack_sequences",
+    "chunk_docs",
     "asof_last_click",
     "dedup_minhash_signatures",
     "parse_labels",
@@ -835,6 +838,9 @@ def _catalog() -> dict[str, QueryFn]:
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
+        # training-sequence preparation
+        "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
+        "chunk_docs": lambda s, d: packing.chunk_docs(_docs(s, d)),
         # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
@@ -964,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": corpus.hash_sample_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),
+        "pack_sequences": packing.pack_sequences_sql(),
+        "chunk_docs": packing.chunk_docs_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),

@@ -1,0 +1,167 @@
+"""Training-sequence preparation: context-window packing and document
+chunking — the last mile between a cleaned corpus and a trainer's
+fixed-length batches.
+
+- ``pack_sequences``: GPT-style streaming pack — concatenate docs in a
+  deterministic order and cut at every ``budget`` tokens, letting docs
+  straddle sequence boundaries (no padding waste). Each doc gets the
+  sequence it STARTS in and its token offset there.
+- ``chunk_docs``: sliding-window chunking (length ``k``, stride ``s``)
+  — the standard split for embedding/retrieval indexing of long
+  documents.
+
+Both are exact integer/window arithmetic end-to-end, so the DuckDB
+oracles hash-match bit-for-bit; there is no float anywhere.
+
+100 TB shapes:
+
+- packing is one window cumsum per hash bucket: docs distribute over
+  ``n_buckets`` independent packing streams by a deterministic md5 of
+  the id (buckets ≈ trainer data-parallel shards), so no global-order
+  bottleneck exists — each bucket's cumsum is an ordinary partitioned
+  running total, and skew is bounded by the hash.
+- chunking is a map-only explode: `sequence()` index generation plus
+  array slicing, no shuffle at all; output rows ∝ total tokens / s.
+
+Reference parity: the reference has no training-prep layer (its scope
+ends at formatter output); this is part of the §2.5 training-data
+surface, like dedup and retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions.hashing import MD5_60_SQL, md5_60
+from log_formatter_spark.functions.text import TOKENS_SQL, tokens
+
+PACK_BUDGET = 256
+PACK_BUCKETS = 8
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each doc its (bucket, seq_id, seq_offset) under streaming
+    concatenation: within a bucket, docs concatenate in ``id`` order
+    and sequences cut every ``budget`` tokens.
+
+    Returns ``(doc_id, bucket, n_tokens, seq_id, seq_offset)`` where
+    ``seq_id`` is the sequence the doc's FIRST token lands in and
+    ``seq_offset`` its position there (a doc longer than the remaining
+    room spills into the next sequence — by-design GPT-style packing,
+    no padding). Empty docs occupy zero tokens and inherit the current
+    boundary. All integer math; one exchange (the bucket window).
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(md5_60(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("int").alias("seq_id"),
+        (start % F.lit(budget)).cast("int").alias("seq_offset"),
+    )
+
+
+def pack_sequences_sql(
+    src: str = "documents",
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    coin = MD5_60_SQL.format(x=f"'pack:' || CAST({id_col} AS VARCHAR)")
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST({coin} % {n_buckets} AS INTEGER) AS bucket,
+         CAST(len({toks}) AS INTEGER) AS n_tokens
+  FROM {src}
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY {id_col}
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS _start
+  FROM base
+)
+SELECT {id_col}, bucket, n_tokens,
+       CAST(_start // {budget} AS INTEGER) AS seq_id,
+       CAST(_start % {budget} AS INTEGER) AS seq_offset
+FROM c
+"""
+
+
+def chunk_docs(
+    docs: DataFrame,
+    k: int = CHUNK_LEN,
+    s: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunks of ``k`` tokens with stride ``s``
+    (overlap ``k-s``): ``(doc_id, chunk_idx, n_chunk_tokens,
+    chunk_text)``. The final window is the last start position
+    ``< n`` on the stride grid, so every token is covered and short
+    docs yield exactly one (short) chunk; empty docs yield none.
+    Map-only: index `sequence` + array slice, zero exchanges.
+    """
+    n = F.size(F.col("_toks"))
+    # chunks start at 0, s, 2s, …; count = ceil(max(n-k,0)/s) + 1.
+    # Guard n=0 with an empty array: Spark's sequence(0, -1) would
+    # yield a DESCENDING [0, -1], not nothing (explode drops empties).
+    n_chunks = (
+        F.expr(f"(greatest(size(_toks) - {k}, 0) + {s} - 1) div {s}") + F.lit(1)
+    ).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        id_col, "_toks", F.explode(idx).alias("chunk_idx")
+    )
+    piece = F.expr(f"slice(_toks, chunk_idx * {s} + 1, {k})")
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_docs_sql(
+    src: str = "documents",
+    k: int = CHUNK_LEN,
+    s: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {toks} AS toks FROM {src}
+),
+idx AS (
+  SELECT {id_col}, toks,
+         unnest(range(0, CASE WHEN len(toks) <= 0 THEN 0
+                 ELSE (greatest(len(toks) - {k}, 0) + {s} - 1) // {s} + 1 END)) AS chunk_idx
+  FROM t
+)
+SELECT {id_col}, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {k}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {k}], ' ') AS chunk_text
+FROM idx
+"""
