@@ -55,6 +55,11 @@ HEADLINE = [
     # round 3: lexical retrieval + RRF hybrid fusion
     "bm25_topk",
     "hybrid_rrf",
+    # round 3c: conversation-level curation + corpus hygiene
+    "conv_dedup",
+    "conv_qa",
+    "decontaminate",
+    "boilerplate_frac",
 ]
 
 

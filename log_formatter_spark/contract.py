@@ -36,6 +36,7 @@ from log_formatter_spark.lookups import (
 )
 from log_formatter_spark.operators import (
     analytics,
+    conversations,
     corpus,
     dedup,
     olap,
@@ -76,6 +77,12 @@ NGRAM_MAX_DF = 200
 # embeddings top out at cos≈0.51 (random-ish cluster structure), so the
 # demo threshold is set where the result set is non-trivial
 EMBED_MIN_COS = 0.4
+# conversation template-prefix dedup: key on the first k turns
+# (150 convs -> 57 prefix groups at sf0.01; 15 -> 14 at sf0.001)
+CONV_DEDUP_PREFIX = 2
+# decontamination: every 23rd doc plays the "benchmark" corpus (31
+# flagged train docs at sf0.01 with 4-gram shingles; 36 at sf0.001)
+DECONTAM_EVAL_MOD = 23
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -657,6 +664,8 @@ _GATE_ORDER = [
     "sink_template_route",
     "winnow_pairs",
     "conversation_sessions",
+    "conv_dedup",
+    "conv_qa",
     "regional_revenue",
     "parse_extract",
     "parse_grok",
@@ -665,6 +674,8 @@ _GATE_ORDER = [
     "hybrid_rrf",
     "source_quota_sample",
     "hash_sample",
+    "decontaminate",
+    "boilerplate_frac",
     "bigram_lm",
     "doc_lm_score",
     "pack_sequences",
@@ -782,6 +793,18 @@ def _catalog() -> dict[str, QueryFn]:
         "conversation_assembly": lambda s, d: assemble_conversations(
             transcripts_from_events(s, d)
         ),
+        # conversation-level curation: ts-stripped canonical text (a
+        # retried conv is identical content at a different wall clock),
+        # first-2-turn template-prefix grouping (non-trivial collapse on
+        # the driver corpus: 150 convs -> 57 groups at sf0.01)
+        "conv_dedup": lambda s, d: conversations.conv_dedup(
+            transcripts_from_events(s, d),
+            canon=F.expr("substr(text, 21)"),
+            prefix_turns=CONV_DEDUP_PREFIX,
+        ),
+        "conv_qa": lambda s, d: conversations.conv_qa(
+            transcripts_from_events(s, d), TRANSCRIPT_PATTERN
+        ),
         "distinct_convs_hourly": _distinct_convs_hourly,
         "dataset_split": _dataset_split,
         # text analysis
@@ -835,6 +858,10 @@ def _catalog() -> dict[str, QueryFn]:
         # corpus sampling (mixing-weights curation)
         "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
         "hash_sample": lambda s, d: corpus.hash_sample(_docs(s, d)),
+        "decontaminate": lambda s, d: corpus.decontaminate(
+            _docs(s, d), eval_pred=F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+        ),
+        "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
@@ -948,6 +975,11 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": sh.winnow_pairs_sql(n=3, w=4, min_shared=2),
         "repetition_score": sh.repetition_score_sql(n=3),
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
+        "conv_dedup": TRANSCRIPT_CTES
+        + conversations.conv_dedup_sql(
+            "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
+        ),
+        "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
@@ -968,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
         "source_profile": corpus.source_profile_sql(),
         "source_quota_sample": corpus.source_quota_sample_sql(),
         "hash_sample": corpus.hash_sample_sql(),
+        "decontaminate": corpus.decontaminate_sql(
+            f"doc_id % {DECONTAM_EVAL_MOD} = 0"
+        ),
+        "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),
         "pack_sequences": packing.pack_sequences_sql(),

@@ -1,0 +1,136 @@
+"""Conversation-level dedup and structural QA over transcript tables.
+
+Both operators treat the conversation — not the turn — as the unit of
+work, the granularity at which transcript corpora are actually curated
+(a duplicated *conversation* is one training document duplicated, even
+when no single turn row is itself a duplicate). The reference has no
+conversation notion at all (it is a per-line pipeline,
+agent/pipeline/pipeline.go); these extend its semantics the way
+SURVEY.md §2.5 extends filter/parse to the training-data layer.
+
+``conv_dedup`` — exact conversation dedup on a canonical content key:
+  md5 over the turn texts joined in stable ``turn_idx`` order
+  (the array_sort-canonicalized collect from
+  transcripts.assemble_conversations, so the key is bit-identical at
+  any parallelism). Two knobs make it match real retry/regeneration
+  traffic:
+  - ``canon`` lets the caller canonicalize each turn's text before
+    hashing (the contract query strips the leading wall-clock
+    timestamp: a retried conversation has identical content at a
+    different time, and MUST collapse);
+  - ``prefix_turns`` keys on only the first k turns — template-prefix
+    grouping, the "same opening ⇒ same generation template" collapse
+    used to cap per-template volume in a corpus.
+  Plan: one exchange on conv_id (collect + hash), one on the conv key
+  (group survivors). Both aggregations combine map-side; the second
+  exchange carries one narrow row per conversation, so at 10^12 turns
+  the key-group shuffle is |conversations|-sized, not |turns|-sized.
+
+``conv_qa`` — per-conversation structural validation: turn count,
+  malformed-text count (the transcript grok pattern), consecutive
+  same-role repeats (a protocol violation in alternating-turn agent
+  logs), distinct roles, and wall-clock span. Single exchange: the
+  lag() window and the final groupBy share the conv_id partitioning,
+  so Catalyst reuses one exchange for both (same shape as
+  sessions.conversation_sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from log_formatter_spark.operators.parser import _to_java_regex
+
+
+def conv_dedup(
+    transcripts: DataFrame,
+    canon: Column | None = None,
+    prefix_turns: int | None = None,
+) -> DataFrame:
+    """(conv_key, n_convs, survivor_conv_id, total_turns) per distinct key.
+
+    ``canon`` is the per-turn canonical text (default: raw ``text``);
+    ``prefix_turns`` restricts the key to turns with turn_idx < k.
+    Survivor selection is deterministic: min conv_id within the group.
+    """
+    canon = F.col("text") if canon is None else canon
+    t = transcripts
+    if prefix_turns is not None:
+        t = t.where(F.col("turn_idx") < F.lit(prefix_turns))
+    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
+    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
+    per_conv = t.groupBy("conv_id").agg(
+        F.md5(joined).alias("conv_key"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return per_conv.groupBy("conv_key").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("survivor_conv_id"),
+        F.sum("n_turns").alias("total_turns"),
+    )
+
+
+def conv_dedup_sql(
+    transcripts_cte: str = "transcripts",
+    canon_sql: str = "text",
+    prefix_turns: int | None = None,
+) -> str:
+    where = f"WHERE turn_idx < {prefix_turns}" if prefix_turns is not None else ""
+    return f"""
+SELECT conv_key, count(*) AS n_convs, min(conv_id) AS survivor_conv_id,
+       CAST(sum(n_turns) AS BIGINT) AS total_turns
+FROM (
+  SELECT conv_id,
+         md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx)) AS conv_key,
+         count(*) AS n_turns
+  FROM {transcripts_cte} {where} GROUP BY conv_id
+)
+GROUP BY conv_key
+"""
+
+
+def conv_qa(transcripts: DataFrame, pattern: str) -> DataFrame:
+    """(conv_id, n_turns, n_malformed, n_role_repeats, n_roles, span_us).
+
+    ``pattern`` is the well-formed-turn regex (``(?P<name>...)`` groups
+    accepted; converted to Java syntax for the codegen rlike).
+    span_us is the integer microsecond span — µs is the storage
+    precision of both engines' timestamps, so boundary-counting
+    (DuckDB date_diff) and truncated difference (Spark timestampdiff)
+    coincide exactly; any coarser unit would round differently.
+    """
+    jpat = _to_java_regex(pattern)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "ts",
+        F.coalesce(F.col("text").rlike(jpat), F.lit(False)).alias("ok"),
+        (F.col("role") == F.lag("role").over(w)).alias("repeat"),
+        "role",
+    )
+    return x.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_malformed"),
+        F.sum(F.when(F.col("repeat"), 1).otherwise(0)).alias("n_role_repeats"),
+        F.count_distinct(F.col("role")).alias("n_roles"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("span_us"),
+    )
+
+
+def conv_qa_sql(pattern: str, transcripts_cte: str = "transcripts") -> str:
+    return f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(sum(CASE WHEN repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+       count(DISTINCT role) AS n_roles,
+       date_diff('microsecond', min(ts), max(ts)) AS span_us
+FROM (
+  SELECT conv_id, ts, role,
+         coalesce(regexp_matches(text, '{pattern}'), FALSE) AS ok,
+         role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS repeat
+  FROM {transcripts_cte}
+)
+GROUP BY conv_id
+"""

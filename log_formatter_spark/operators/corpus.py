@@ -15,7 +15,7 @@ first failing rule in a fixed order — deterministic and auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.text import (
@@ -361,4 +361,144 @@ SELECT {id_col}, {source_col} AS source, coin FROM (
          CASE {branches} ELSE {int(default_rate * (1 << 60))} END AS thr
   FROM {src}
 ) WHERE coin < thr
+"""
+
+
+# --- eval-set decontamination ----------------------------------------------
+
+DECONTAM_NGRAM = 4
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram eval-set decontamination: (doc_id, n_hit_shingles)
+    for every TRAIN document sharing at least one word n-gram with any
+    EVAL document (``eval_pred`` marks the eval rows).
+
+    The standard pre-training hygiene step (the GPT-3/PaLM reports both
+    describe exactly this shape: drop or flag training docs that
+    contain any benchmark n-gram). Distinct from split_contamination,
+    which finds NEAR-dup pairs across already-assigned splits; this is
+    exact set-membership against a designated eval corpus.
+
+    100 TB plan: eval benchmarks are tiny next to the corpus, so the
+    distinct eval-shingle side is BROADCAST — the train side is a scan
+    + explode + broadcast-hash semi-probe, and the only exchange is the
+    final per-doc count, which partially aggregates map-side and
+    carries hit docs only. No shuffle ever sees the full shingle table.
+    """
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=True)
+    ev = docs.where(eval_pred).select(id_col, text_col)
+    ev_sh = (
+        shingle_df(ev, n=n, text_col=text_col, id_col=id_col, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.join(docs.where(eval_pred).select(id_col), id_col, "left_anti")
+    return (
+        train.join(F.broadcast(ev_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+def decontaminate_sql(
+    eval_pred_sql: str,
+    src: str = "documents",
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+) -> str:
+    from log_formatter_spark.functions.shingles import shingles_sql
+
+    sh = shingles_sql(src=src, n=n, id_col=id_col)
+    return f"""
+WITH sh AS ({sh}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE {id_col} IN
+       (SELECT {id_col} FROM {src} WHERE {eval_pred_sql}))
+SELECT s.{id_col}, count(*) AS n_hit_shingles
+FROM sh s JOIN ev USING (shingle)
+WHERE s.{id_col} NOT IN (SELECT {id_col} FROM {src} WHERE {eval_pred_sql})
+GROUP BY s.{id_col}
+"""
+
+
+# --- boilerplate fraction ---------------------------------------------------
+
+BOILER_NGRAM = 3
+BOILER_MIN_DF = 3
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_frac): per-document share
+    of distinct word n-grams that are corpus-common (document frequency
+    ≥ ``min_df``) — the CCNet/RefinedWeb-style boilerplate signal
+    (headers, navigation, license blurbs repeat verbatim across docs;
+    novel prose does not). High boiler_frac is a drop/downweight cue
+    for corpus_filter-style rules.
+
+    Plan: distinct shingles (1 exchange) → df counts via groupBy
+    shingle (map-side partials; hot boilerplate keys arrive as one
+    combined row per map task) → shingle-keyed join back (AQE skew-join
+    splits the probe side if one shingle dominates) → per-doc count (1
+    exchange on doc_id). The join is the honest cost: df-tagging each
+    (doc, shingle) row inherently co-locates by shingle once; a window
+    over shingle would do the same co-location without AQE's skew
+    handling, so the join form is the scale-safe one.
+
+    boiler_frac is a single IEEE division of two exact int64 casts —
+    bit-identical across engines.
+    """
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=True)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tagged = sh.join(df_counts, "shingle")
+    out = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "boiler_frac"
+        ),
+    )
+
+
+def boilerplate_fraction_sql(
+    src: str = "documents",
+    n: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+    id_col: str = "doc_id",
+) -> str:
+    from log_formatter_spark.functions.shingles import shingles_sql
+
+    sh = shingles_sql(src=src, n=n, id_col=id_col)
+    return f"""
+WITH sh AS ({sh}),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+agg AS (
+  SELECT {id_col},
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM sh JOIN df USING (shingle) GROUP BY {id_col}
+)
+SELECT {id_col}, n_shingles, n_boiler,
+       CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS boiler_frac
+FROM agg
 """
