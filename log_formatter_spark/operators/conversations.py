@@ -90,6 +90,71 @@ GROUP BY conv_key
 """
 
 
+def conv_session_keys(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    canon: Column | None = None,
+) -> DataFrame:
+    """Batch twin of ``streaming_conv_keys``: one canonical content key
+    per (conv_id, gap-separated session) — gaps-and-islands numbering
+    (same shape as sessions.conversation_sessions), then the
+    array_sort-canonicalized key per island. Used to prove the
+    streaming session_window emission exactly matches batch semantics
+    (tests/test_conversations_streaming.py)."""
+    canon = F.col("text") if canon is None else canon
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    numbered = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        canon.alias("c"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("c"))))
+    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
+    return numbered.groupBy("conv_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.md5(joined).alias("conv_key"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def streaming_conv_keys(
+    transcripts_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    canon: Column | None = None,
+) -> DataFrame:
+    """Streaming conversation content keys — the unbounded-stream twin
+    of ``conv_dedup``'s key computation, scoped by session windows: once
+    the watermark passes a conversation's ``gap`` of silence, its
+    canonical (turn_idx-sorted, optionally canonicalized) content key is
+    final and can be emitted append-only. Downstream,
+    ``dropDuplicatesWithinWatermark("conv_key")`` or an anti-join
+    against a key store turns the emission into streaming conversation
+    dedup.
+
+    State is bounded: the store holds open sessions only (watermark
+    evicts closed ones), and each entry carries the collected turn
+    structs of ONE conversation session — at 10^12 turns the bound is
+    (active conversations × avg open-session turns), not history.
+    """
+    canon = F.col("text") if canon is None else canon
+    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
+    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
+        .agg(F.md5(joined).alias("conv_key"), F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
 def conv_qa(transcripts: DataFrame, pattern: str) -> DataFrame:
     """(conv_id, n_turns, n_malformed, n_role_repeats, n_roles, span_us).
 
