@@ -434,6 +434,52 @@ def _streaming_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 KAFKA_CORRUPT_EVERY = 20
 
 
+def _streaming_conv_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-window conversation content keys, hash-checked
+    against the BATCH gaps-and-islands DuckDB oracle — the second
+    streaming ≡ batch equivalence shipped as a driver row (the first is
+    the flagship's aggregates, `streaming_pipeline_counts`).
+
+    memory sink + complete mode on purpose: sessions still open at
+    end-of-data never flush in append mode, so complete is the only
+    output mode whose final table equals the batch computation exactly;
+    at gate scale that table is sessions-sized (~10 k rows at sf0.01).
+    Production writes closed sessions append-only (watermark-evicted)
+    through the parquet sink — the open-session tail is the price of an
+    unbounded stream, not of this operator. Results round-trip through
+    parquet so the returned plan is a plain scan (catalog plan guard)."""
+    import tempfile
+
+    from log_formatter_spark.operators.conversations import streaming_conv_keys
+    from log_formatter_spark.streaming import stream_transcripts
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_convkeys_")
+    src = f"{work}/in"
+    transcripts_from_events(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = (
+        streaming_conv_keys(
+            stream_transcripts(spark, src),
+            gap="30 minutes",
+            canon=F.expr("substr(text, 21)"),
+        )
+        .writeStream.format("memory")
+        .queryName("lfs_conv_keys_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_conv_keys_gate").select(
+        "conv_id",
+        F.col("win.start").alias("session_start"),
+        "conv_key",
+        "n_turns",
+    ).write.mode("overwrite").parquet(f"{work}/keys")
+    return spark.read.parquet(f"{work}/keys")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -707,6 +753,7 @@ _GATE_ORDER = [
     "dedup_clusters",
     "lang_id_ngram",
     "dedup_embedding_lsh",
+    "streaming_conv_keys",
     "streaming_pipeline_counts",
 ]
 
@@ -729,6 +776,7 @@ def _catalog() -> dict[str, QueryFn]:
         "pipeline_counts": _pipeline_counts("arrow"),
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
         "streaming_pipeline_counts": _streaming_pipeline_counts,
+        "streaming_conv_keys": _streaming_conv_keys,
         "parse_extract": _parse_extract,
         "parse_grok": _parse_grok,
         "parse_labels": _parse_labels,
@@ -906,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
         # streaming final aggregates must hash-match the BATCH oracle —
         # that equality is the exactly-once claim
         "streaming_pipeline_counts": _PIPELINE_COUNTS_SQL,
+        "streaming_conv_keys": TRANSCRIPT_CTES
+        + conversations.conv_session_keys_sql(
+            "transcripts", canon_sql="substr(text, 21)"
+        ),
         "parse_extract": TRANSCRIPT_CTES
         + "SELECT conv_id, turn_idx, parse_ok, ts_str, level, tool_tag, body FROM parsed",
         "parse_grok": _PARSE_GROK_SQL,

@@ -125,6 +125,37 @@ def conv_session_keys(
     )
 
 
+def conv_session_keys_sql(
+    transcripts_cte: str = "transcripts",
+    canon_sql: str = "text",
+    gap: str = "30 minutes",
+) -> str:
+    """DuckDB rendering of ``conv_session_keys`` — the BATCH oracle the
+    STREAMING session_window emission is hash-checked against (the
+    contract row `streaming_conv_keys`)."""
+    return f"""
+SELECT conv_id, min(ts) AS session_start,
+       md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx)) AS conv_key,
+       count(*) AS n_turns
+FROM (
+  SELECT conv_id, turn_idx, ts, text,
+         CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id
+  FROM (
+    SELECT conv_id, turn_idx, ts, text,
+           CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL {gap}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (
+      SELECT conv_id, turn_idx, ts, text,
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+      FROM {transcripts_cte}
+    )
+  )
+)
+GROUP BY conv_id, sess_id
+"""
+
+
 def streaming_conv_keys(
     transcripts_stream: DataFrame,
     gap: str = "30 minutes",
