@@ -1,6 +1,6 @@
 """Conversation-level dedup and structural QA over transcript tables.
 
-Both operators treat the conversation — not the turn — as the unit of
+These operators treat the conversation — not the turn — as the unit of
 work, the granularity at which transcript corpora are actually curated
 (a duplicated *conversation* is one training document duplicated, even
 when no single turn row is itself a duplicate). The reference has no
@@ -9,7 +9,7 @@ agent/pipeline/pipeline.go); these extend its semantics the way
 SURVEY.md §2.5 extends filter/parse to the training-data layer.
 
 ``conv_dedup`` — exact conversation dedup on a canonical content key:
-  md5 over the turn texts joined in stable ``turn_idx`` order
+  md5 over the turn texts joined in stable ``(turn_idx, text)`` order
   (the array_sort-canonicalized collect from
   transcripts.assemble_conversations, so the key is bit-identical at
   any parallelism). Two knobs make it match real retry/regeneration
@@ -25,6 +25,18 @@ SURVEY.md §2.5 extends filter/parse to the training-data layer.
   (group survivors). Both aggregations combine map-side; the second
   exchange carries one narrow row per conversation, so at 10^12 turns
   the key-group shuffle is |conversations|-sized, not |turns|-sized.
+
+``conv_session_keys`` / ``streaming_conv_keys`` — the same content key
+  scoped to gap-separated sessions, in batch (gaps-and-islands) and
+  Structured Streaming (session_window) renderings. BOTH sessionize by
+  EVENT TIME: the batch island numbering orders by ``(ts, turn_idx)``,
+  not turn_idx, because ``session_window`` knows nothing about turn
+  order — with any out-of-order (ts vs turn_idx) data, a turn-ordered
+  lag() would merge sessions the streaming side splits. The two are
+  therefore exact twins on arbitrary inputs, not just monotone ones
+  (equality pinned in tests/test_conversations_streaming.py and
+  hash-checked by the driver as the `streaming_conv_keys` contract
+  row).
 
 ``conv_qa`` — per-conversation structural validation: turn count,
   malformed-text count (the transcript grok pattern), consecutive
@@ -43,6 +55,24 @@ from pyspark.sql import functions as F
 from log_formatter_spark.operators.parser import _to_java_regex
 
 
+def _content_key(canon: Column) -> Column:
+    """Canonical conversation content key: md5 over the collected turn
+    texts joined in ``(turn_idx, text)`` sort order. collect_list order
+    is shuffle-dependent, so turns are collected as structs and
+    array_sort canonicalizes — bit-identical at any parallelism (the
+    transcripts.assemble_conversations trick). The text field rides in
+    the sort key, so duplicate turn_idx values still order
+    deterministically (the SQL renderings tie-break the same way)."""
+    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
+    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
+    return F.md5(joined)
+
+
+def _content_key_sql(canon_sql: str) -> str:
+    """DuckDB rendering of ``_content_key`` (same tie-break)."""
+    return f"md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx, {canon_sql}))"
+
+
 def conv_dedup(
     transcripts: DataFrame,
     canon: Column | None = None,
@@ -58,10 +88,8 @@ def conv_dedup(
     t = transcripts
     if prefix_turns is not None:
         t = t.where(F.col("turn_idx") < F.lit(prefix_turns))
-    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
-    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
     per_conv = t.groupBy("conv_id").agg(
-        F.md5(joined).alias("conv_key"),
+        _content_key(canon).alias("conv_key"),
         F.count(F.lit(1)).alias("n_turns"),
     )
     return per_conv.groupBy("conv_key").agg(
@@ -82,7 +110,7 @@ SELECT conv_key, count(*) AS n_convs, min(conv_id) AS survivor_conv_id,
        CAST(sum(n_turns) AS BIGINT) AS total_turns
 FROM (
   SELECT conv_id,
-         md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx)) AS conv_key,
+         {_content_key_sql(canon_sql)} AS conv_key,
          count(*) AS n_turns
   FROM {transcripts_cte} {where} GROUP BY conv_id
 )
@@ -96,13 +124,14 @@ def conv_session_keys(
     canon: Column | None = None,
 ) -> DataFrame:
     """Batch twin of ``streaming_conv_keys``: one canonical content key
-    per (conv_id, gap-separated session) — gaps-and-islands numbering
-    (same shape as sessions.conversation_sessions), then the
-    array_sort-canonicalized key per island. Used to prove the
-    streaming session_window emission exactly matches batch semantics
-    (tests/test_conversations_streaming.py)."""
+    per (conv_id, gap-separated session). Islands are numbered in
+    EVENT-TIME order — ``lag(ts)`` over ``(ts, turn_idx)`` — because
+    that is what ``session_window`` computes; ordering by turn_idx
+    would diverge on any conversation whose ts is not monotone in
+    turn_idx (out-of-order delivery, clock skew between tool calls).
+    The content key itself still sorts turns by (turn_idx, text)."""
     canon = F.col("text") if canon is None else canon
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")), 1
@@ -116,11 +145,9 @@ def conv_session_keys(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("sess_id"),
     )
-    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("c"))))
-    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
     return numbered.groupBy("conv_id", "sess_id").agg(
         F.min("ts").alias("session_start"),
-        F.md5(joined).alias("conv_key"),
+        _content_key(F.col("c")).alias("conv_key"),
         F.count(F.lit(1)).alias("n_turns"),
     )
 
@@ -132,14 +159,15 @@ def conv_session_keys_sql(
 ) -> str:
     """DuckDB rendering of ``conv_session_keys`` — the BATCH oracle the
     STREAMING session_window emission is hash-checked against (the
-    contract row `streaming_conv_keys`)."""
+    contract row `streaming_conv_keys`). Same event-time island
+    ordering and content-key tie-break as the Spark side."""
     return f"""
 SELECT conv_id, min(ts) AS session_start,
-       md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx)) AS conv_key,
+       {_content_key_sql(canon_sql)} AS conv_key,
        count(*) AS n_turns
 FROM (
   SELECT conv_id, turn_idx, ts, text,
-         CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id
   FROM (
     SELECT conv_id, turn_idx, ts, text,
@@ -147,7 +175,7 @@ FROM (
                 THEN 1 ELSE 0 END AS new_sess
     FROM (
       SELECT conv_id, turn_idx, ts, text,
-             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
       FROM {transcripts_cte}
     )
   )
@@ -165,7 +193,7 @@ def streaming_conv_keys(
     """Streaming conversation content keys — the unbounded-stream twin
     of ``conv_dedup``'s key computation, scoped by session windows: once
     the watermark passes a conversation's ``gap`` of silence, its
-    canonical (turn_idx-sorted, optionally canonicalized) content key is
+    canonical (turn-sorted, optionally canonicalized) content key is
     final and can be emitted append-only. Downstream,
     ``dropDuplicatesWithinWatermark("conv_key")`` or an anti-join
     against a key store turns the emission into streaming conversation
@@ -177,12 +205,13 @@ def streaming_conv_keys(
     (active conversations × avg open-session turns), not history.
     """
     canon = F.col("text") if canon is None else canon
-    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
-    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
     return (
         transcripts_stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
-        .agg(F.md5(joined).alias("conv_key"), F.count(F.lit(1)).alias("n_turns"))
+        .agg(
+            _content_key(canon).alias("conv_key"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
     )
 
 

@@ -387,14 +387,16 @@ def decontaminate(
     exact set-membership against a designated eval corpus.
 
     100 TB plan: eval benchmarks are tiny next to the corpus, so the
-    distinct eval-shingle side is BROADCAST — the train side is a scan
-    + explode + broadcast-hash semi-probe, and the only exchange is the
-    final per-doc count, which partially aggregates map-side and
-    carries hit docs only. No shuffle ever sees the full shingle table.
+    distinct eval-shingle side is BROADCAST, and the broadcast probe
+    runs BEFORE any shuffle — the train side is scan + explode (no
+    distinct yet) + broadcast-hash probe, so the full shingle table is
+    never exchanged. Only the surviving HIT rows pay the distinct
+    (duplicate positions of the same (doc, shingle) must count once)
+    and the final per-doc count, both map-side-combined.
     """
     from log_formatter_spark.functions.shingles import shingle_df
 
-    sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=True)
+    sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=False)
     ev = docs.where(eval_pred).select(id_col, text_col)
     ev_sh = (
         shingle_df(ev, n=n, text_col=text_col, id_col=id_col, distinct=False)
@@ -404,6 +406,7 @@ def decontaminate(
     train = sh.join(docs.where(eval_pred).select(id_col), id_col, "left_anti")
     return (
         train.join(F.broadcast(ev_sh), "shingle")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )
@@ -418,13 +421,20 @@ def decontaminate_sql(
     from log_formatter_spark.functions.shingles import shingles_sql
 
     sh = shingles_sql(src=src, n=n, id_col=id_col)
+    # eval shingles come straight from the filtered source (not via an
+    # id IN-list), and the train-side exclusion is NOT EXISTS, not
+    # NOT IN: one NULL id in the eval set would turn NOT IN into zero
+    # rows (the olap.py:purchasers_without_clicks rule), silently
+    # diverging from Spark's null-safe left_anti join.
+    ev_src = f"(SELECT * FROM {src} WHERE {eval_pred_sql}) _ev"
+    ev_sh = shingles_sql(src=ev_src, n=n, id_col=id_col)
     return f"""
 WITH sh AS ({sh}),
-ev AS (SELECT DISTINCT shingle FROM sh WHERE {id_col} IN
-       (SELECT {id_col} FROM {src} WHERE {eval_pred_sql}))
+ev AS (SELECT DISTINCT shingle FROM ({ev_sh})),
+eval_ids AS (SELECT {id_col} FROM {src} WHERE {eval_pred_sql})
 SELECT s.{id_col}, count(*) AS n_hit_shingles
 FROM sh s JOIN ev USING (shingle)
-WHERE s.{id_col} NOT IN (SELECT {id_col} FROM {src} WHERE {eval_pred_sql})
+WHERE NOT EXISTS (SELECT 1 FROM eval_ids e WHERE e.{id_col} = s.{id_col})
 GROUP BY s.{id_col}
 """
 

@@ -40,6 +40,45 @@ def test_streaming_conv_keys_match_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_conv_keys_match_batch_out_of_order_ts(spark, tmp_path):
+    # ts NOT monotone in turn_idx: session_window sessionizes by event
+    # time, so the batch twin must too (turn-ordered lag() would merge
+    # these into one session and diverge — the r3c review finding)
+    rows = [
+        ("a", 0, "u", "late", "", "2020-01-01 01:00:00"),
+        ("a", 1, "u", "early", "", "2020-01-01 00:00:00"),  # 1h BEFORE turn 0
+        ("a", 2, "u", "tail", "", "2020-01-01 01:10:00"),
+    ]
+    src = str(tmp_path / "ooo")
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).selectExpr(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+    )
+    t.write.mode("overwrite").parquet(src)
+    q = (
+        streaming_conv_keys(stream_transcripts(spark, src), gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("conv_keys_ooo")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["win"]["start"]): (r["conv_key"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM conv_keys_ooo").collect()
+    }
+    want = {
+        (r["conv_id"], r["session_start"]): (r["conv_key"], r["n_turns"])
+        for r in conv_session_keys(t, gap="30 minutes").collect()
+    }
+    assert got == want
+    assert len(want) == 2  # early turn is its own session
+
+
 def test_streaming_conv_keys_dedup_downstream(spark, tmp_path):
     # two conversations with identical canonical content in distinct
     # sessions -> identical conv_key; a batch dedup over the emitted
