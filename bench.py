@@ -60,6 +60,7 @@ HEADLINE = [
     "conv_qa",
     "decontaminate",
     "boilerplate_frac",
+    "error_burst",
 ]
 
 

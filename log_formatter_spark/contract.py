@@ -712,6 +712,7 @@ _GATE_ORDER = [
     "conversation_sessions",
     "conv_dedup",
     "conv_qa",
+    "error_burst",
     "regional_revenue",
     "parse_extract",
     "parse_grok",
@@ -851,6 +852,9 @@ def _catalog() -> dict[str, QueryFn]:
             prefix_turns=CONV_DEDUP_PREFIX,
         ),
         "conv_qa": lambda s, d: conversations.conv_qa(
+            transcripts_from_events(s, d), TRANSCRIPT_PATTERN
+        ),
+        "error_burst": lambda s, d: olap.error_burst(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
         ),
         "distinct_convs_hourly": _distinct_convs_hourly,
@@ -1032,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
         ),
         "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
+        "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),

@@ -451,3 +451,96 @@ SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_bigrams,
        / {_LM_FP_SCALE!r} AS lm_score
 FROM scored GROUP BY {id_col}
 """
+
+
+# --- error-burst detection ---------------------------------------------------
+
+BURST_TRAIL_HOURS = 24
+_HOUR_US = 3_600_000_000
+
+
+def error_burst(
+    transcripts: DataFrame,
+    pattern: str,
+    level: str = "ERROR",
+    trail_hours: int = BURST_TRAIL_HOURS,
+) -> DataFrame:
+    """Hourly error-burst detection — the log-monitoring query the
+    reference's prometheus counters exist to feed (agent/connector/
+    queue.go:30-39 exposes per-gate counts; alerting on them is left to
+    the scrape side): per hour, the count of ``level`` turns vs the
+    trailing ``trail_hours`` baseline, as an exact ratio.
+
+    burst_ratio = n_errors × trailing_hours / trailing_errors — the
+    current hour vs the mean of the trailing window, computed as one
+    integer product and ONE IEEE division so both engines agree
+    bit-exactly. NULL when the trailing window is empty or error-free
+    (first hours / cold systems), by construction rather than ±inf.
+    Hours with zero errors produce no row (they can't burst); they are
+    likewise absent from the baseline — the ratio is against the mean
+    of *active* trailing hours, stated here because RANGE frames skip
+    gaps silently.
+
+    Scale shape: the window is GLOBAL (no partition key) on purpose —
+    it runs over the hourly aggregate, whose row count is bounded by
+    calendar time (~9 k rows/year), not by data size; the heavy
+    input-sized work is the map-side-combined groupBy(hour) before it
+    (the bigram_lm vocabulary² argument). RANGE frames run over exact
+    int64 µs epochs, excluding the current hour
+    (``-trail_hours·1h .. -1h``).
+    """
+    from log_formatter_spark.operators.parser import _to_java_regex
+
+    jpat = _to_java_regex(pattern)
+    hourly = (
+        transcripts.where(F.regexp_extract(F.col("text"), jpat, 2) == level)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    epoch = F.unix_micros(F.col("hour").cast("timestamp_ltz"))
+    w = Window.orderBy(epoch).rangeBetween(-trail_hours * _HOUR_US, -_HOUR_US)
+    base = hourly.select(
+        "hour",
+        "n_errors",
+        F.coalesce(F.sum("n_errors").over(w), F.lit(0)).alias("trailing_errors"),
+        F.count(F.lit(1)).over(w).alias("trailing_hours"),
+    )
+    return base.select(
+        "hour",
+        "n_errors",
+        "trailing_errors",
+        "trailing_hours",
+        F.when(
+            F.col("trailing_errors") > 0,
+            (F.col("n_errors") * F.col("trailing_hours")).cast("double")
+            / F.col("trailing_errors").cast("double"),
+        ).alias("burst_ratio"),
+    )
+
+
+def error_burst_sql(
+    pattern: str,
+    transcripts_cte: str = "transcripts",
+    level: str = "ERROR",
+    trail_hours: int = BURST_TRAIL_HOURS,
+) -> str:
+    lo, hi = trail_hours * _HOUR_US, _HOUR_US
+    return f"""
+SELECT hour, n_errors, trailing_errors, trailing_hours,
+       CASE WHEN trailing_errors > 0
+            THEN CAST(n_errors * trailing_hours AS DOUBLE) / CAST(trailing_errors AS DOUBLE)
+       END AS burst_ratio
+FROM (
+  SELECT hour, n_errors,
+         coalesce(CAST(sum(n_errors) OVER w AS BIGINT), 0) AS trailing_errors,
+         count(*) OVER w AS trailing_hours
+  FROM (
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n_errors
+    FROM {transcripts_cte}
+    WHERE regexp_extract(text, '{pattern}', 2) = '{level}'
+    GROUP BY date_trunc('hour', ts)
+  )
+  WINDOW w AS (ORDER BY epoch_us(hour)
+               RANGE BETWEEN {lo} PRECEDING AND {hi} PRECEDING)
+)
+"""
