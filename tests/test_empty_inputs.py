@@ -114,3 +114,24 @@ def test_asof_kmv_on_empty_input(spark, sf_dir):
     joined = asof_join(ev.limit(5), empty, on="user_id", ts_col="ts")
     rows = joined.collect()
     assert len(rows) == 5 and all(r["asof_ts"] is None for r in rows)
+
+
+def test_round3c_operators_on_empty_input(spark, empty_docs, empty_transcripts):
+    from pyspark.sql import functions as F
+
+    from log_formatter_spark.operators import olap
+    from log_formatter_spark.operators.conversations import (
+        conv_dedup,
+        conv_qa,
+        conv_session_keys,
+    )
+
+    assert conv_dedup(empty_transcripts, prefix_turns=2).count() == 0
+    assert conv_qa(empty_transcripts, TRANSCRIPT_PATTERN).count() == 0
+    assert conv_session_keys(empty_transcripts).count() == 0
+    assert olap.error_burst(empty_transcripts, TRANSCRIPT_PATTERN).count() == 0
+    assert (
+        corpus.decontaminate(empty_docs, eval_pred=F.col("doc_id") % 23 == 0).count()
+        == 0
+    )
+    assert corpus.boilerplate_fraction(empty_docs).count() == 0
