@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_formatter_spark.functions import multimodal, sketch
+from log_formatter_spark.functions import classifier, multimodal, sketch
 from log_formatter_spark.functions import shingles as sh
 from log_formatter_spark.functions import text as T
 from log_formatter_spark.functions.grok import grok_parser, grok_to_regex
@@ -654,6 +654,47 @@ def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+# --- incremental dedup fixture ---------------------------------------------
+#
+# The synthetic corpus has no engineered exact duplicates, so the
+# incremental-dedup contract derives its input deterministically from
+# doc_id: docs with doc_id%10 ∈ {0,1} collapse onto 3 shared templates
+# (0s land in the batch, 1s in the corpus → exercises dup_of_corpus),
+# and doc_id%10==5 ∧ doc_id%3==0 rows share a batch-only template
+# (→ exercises dup_in_batch + its lowest-id 'new' survivor).
+
+_INC_DOCS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 <= 1
+              THEN 'shared boilerplate notice ' || CAST(doc_id % 3 AS VARCHAR)
+            WHEN doc_id % 10 = 5 AND doc_id % 3 = 0
+              THEN 'batch only template'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def _inc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id")
+    text = (
+        F.when(
+            did % 10 <= 1,
+            F.concat(F.lit("shared boilerplate notice "), (did % 3).cast("string")),
+        )
+        .when((did % 10 == 5) & (did % 3 == 0), F.lit("batch only template"))
+        .otherwise(F.col("text"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inc_docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        batch=docs.where(F.col("doc_id") % 5 == 0),
+        corpus=docs.where(F.col("doc_id") % 5 != 0),
+    )
+
+
 # --- catalog --------------------------------------------------------------
 
 
@@ -697,6 +738,9 @@ _GATE_ORDER = [
     "skew_salted_agg",
     "window_ordering",
     "text_stats",
+    "classifier_margin",
+    "mixture_epochs",
+    "incremental_dedup",
     "pii_redact",
     "parse_error_tolerant",
     "turn_latency",
@@ -717,6 +761,8 @@ _GATE_ORDER = [
     "parse_extract",
     "parse_grok",
     "similarity_topk",
+    "pq_codes",
+    "pq_topk",
     "bm25_topk",
     "hybrid_rrf",
     "source_quota_sample",
@@ -869,8 +915,14 @@ def _catalog() -> dict[str, QueryFn]:
         "doc_winnow": lambda s, d: sh.winnow(_docs(s, d), n=3, w=4),
         "winnow_pairs": lambda s, d: sh.winnow_pairs(_docs(s, d), n=3, w=4, min_shared=2),
         "repetition_score": lambda s, d: sh.repetition_score(_docs(s, d), n=3),
+        # hashed linear quality classifier (fastText-shaped inference)
+        "classifier_margin": lambda s, d: classifier.hashed_margin(_docs(s, d)),
+        # training-mixture assembly (integer per-source epochs)
+        "mixture_epochs": lambda s, d: corpus.mixture_epochs(_docs(s, d)),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        # new-batch-vs-corpus dedup on the engineered-duplicate fixture
+        "incremental_dedup": _incremental_dedup,
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d), n=3
         ),
@@ -930,6 +982,9 @@ def _catalog() -> dict[str, QueryFn]:
             _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
         ),
         "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
+        # product quantization: the compressed index + ADC search over it
+        "pq_codes": lambda s, d: similarity.pq_codes(_emb(s, d)),
+        "pq_topk": lambda s, d: similarity.pq_topk(_emb(s, d), k=10),
         # in-engine ANN quality dashboards: recall@k vs the exact list
         "ann_recall_ivf": lambda s, d: similarity.ann_recall(_emb(s, d), method="ivf"),
         "ann_recall_lsh": lambda s, d: similarity.ann_recall(_emb(s, d), method="lsh"),
@@ -1037,7 +1092,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
+        "classifier_margin": classifier.hashed_margin_sql(),
+        "mixture_epochs": corpus.mixture_epochs_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
+        "incremental_dedup": dedup.incremental_dedup_sql(
+            batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
+            corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",
+        ),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
         "dedup_simhash": dedup.simhash_sql(),
@@ -1070,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
+        "pq_codes": similarity.pq_codes_sql(),
+        "pq_topk": similarity.pq_topk_sql(k=10),
         "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),
         "ann_recall_lsh": similarity.ann_recall_sql(method="lsh"),
         "label_centroids": similarity.label_centroids_sql(),

@@ -364,6 +364,81 @@ SELECT {id_col}, {source_col} AS source, coin FROM (
 """
 
 
+# --- training-mixture assembly ----------------------------------------------
+
+# Contract mixture: integer epoch multipliers per source (the Pile /
+# LLaMA-style mixture table — "wiki ×3, web ×1"), default 1.
+MIX_EPOCHS: dict[str, int] = {"src0": 3, "src1": 2}
+MIX_DEFAULT_EPOCHS = 1
+
+
+def mixture_epochs(
+    docs: DataFrame,
+    epochs: dict[str, int] | None = None,
+    default_epochs: int = MIX_DEFAULT_EPOCHS,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Assemble a training mixture by integer per-source oversampling:
+    each doc appears ``epochs[source]`` times, tagged with its epoch
+    index and a deterministic 60-bit shuffle key.
+
+    Integer epochs are how production mixtures are actually specified
+    (the Pile's per-set epochs, LLaMA's sampling proportions rounded to
+    passes): upweighting a source = repeating it whole, never a lossy
+    random resample. The plan is a map-only explode of a
+    literal-bounded sequence — zero exchanges, output size =
+    Σ epochs·|source| exactly. ``mix_key`` (md5 of doc_id:epoch) gives
+    every replica a reproducible position in a global shuffle order:
+    sort/bucket by mix_key at write time and the training scan order is
+    engine- and run-independent, with the two replicas of a doc landing
+    far apart (the within-epoch de-clustering property curriculum
+    writers want)."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    epochs = MIX_EPOCHS if epochs is None else epochs
+    e = F.lit(default_epochs)
+    for s, n in sorted(epochs.items()):
+        e = F.when(F.col(source_col) == s, F.lit(n)).otherwise(e)
+    key = md5_60(
+        F.concat_ws(":", F.lit("mix"), F.col(id_col).cast("string"), F.col("epoch").cast("string"))
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col).alias("source"), e.alias("_e"))
+        .select(
+            id_col,
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("_e") - 1)).alias("epoch"),
+        )
+        .select(id_col, "source", "epoch", key.alias("mix_key"))
+    )
+
+
+def mixture_epochs_sql(
+    src: str = "documents",
+    epochs: dict[str, int] | None = None,
+    default_epochs: int = MIX_DEFAULT_EPOCHS,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    epochs = MIX_EPOCHS if epochs is None else epochs
+    branches = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {n}" for s, n in sorted(epochs.items())
+    )
+    key = MD5_60_SQL.format(
+        x=f"'mix:' || CAST({id_col} AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    )
+    return f"""
+SELECT {id_col}, source, epoch, {key} AS mix_key FROM (
+  SELECT {id_col}, {source_col} AS source,
+         CAST(unnest(range(0, CASE {branches} ELSE {default_epochs} END)) AS INTEGER) AS epoch
+  FROM {src}
+)
+"""
+
+
 # --- eval-set decontamination ----------------------------------------------
 
 DECONTAM_NGRAM = 4

@@ -78,6 +78,78 @@ FROM (SELECT {id_col}, md5({norm}) AS group_key FROM {src})
 """
 
 
+# --- incremental (batch-vs-corpus) ------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus without
+    reprocessing the corpus: (doc_id, group_key, status) for every batch
+    doc, status ∈ {'dup_of_corpus', 'dup_in_batch', 'new'}.
+
+    This is the production shape at 10^12 docs — you never re-shuffle
+    history. The corpus side reduces to its DISTINCT content keys (in a
+    real deployment that key index is *maintained* incrementally as a
+    bucketed/Iceberg table keyed on group_key, so it is never recomputed
+    either); the join is key-equality, so only the batch — tiny relative
+    to the corpus — moves, and a bucketed index makes the corpus side
+    exchange-free. Within-batch duplicates resolve by the same
+    lowest-id-survivor window as ``exact_dedup``. A key present in the
+    corpus marks ALL batch rows carrying it (the survivor already
+    exists), so statuses are deterministic and disjoint.
+    """
+    bk = batch.select(
+        F.col(id_col), F.md5(norm_text_expr(text_col)).alias("group_key")
+    )
+    ck = (
+        corpus.select(F.md5(norm_text_expr(text_col)).alias("group_key"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("group_key").orderBy(id_col)
+    ranked = bk.withColumn("_rnk", F.row_number().over(w))
+    status = (
+        F.when(F.col("_in_corpus").isNotNull(), "dup_of_corpus")
+        .when(F.col("_rnk") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    return (
+        ranked.join(ck, "group_key", "left")
+        .select(id_col, "group_key", status.alias("status"))
+    )
+
+
+def incremental_dedup_sql(
+    batch_cte: str,
+    corpus_cte: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+    return f"""
+WITH batch AS ({batch_cte}),
+corpus AS ({corpus_cte}),
+bk AS (
+  SELECT {id_col}, md5({norm}) AS group_key,
+         row_number() OVER (PARTITION BY md5({norm}) ORDER BY {id_col}) AS _rnk
+  FROM batch
+),
+ck AS (SELECT DISTINCT md5({norm}) AS group_key FROM corpus)
+SELECT b.{id_col}, b.group_key,
+       CASE WHEN c.group_key IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b._rnk > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM bk b LEFT JOIN ck c ON b.group_key = c.group_key
+"""
+
+
 # --- minhash + LSH --------------------------------------------------------
 
 N_PERM = 16

@@ -714,3 +714,271 @@ SELECT q.q_id, CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
        CAST(COALESCE(h.n, 0) AS DOUBLE) / {float(k)!r} AS recall
 FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h ON q.q_id = h.q_id
 """
+
+
+# --- product quantization ---------------------------------------------------
+#
+# The third ANN family, and the one that makes 10^12-vector search fit
+# in memory at all: compress each vector to m small integer codes
+# (here m=4 blocks x k=4 centroids for the oracle-checkable demo;
+# production is m=d/8 blocks x k=256 — one BYTE per block, a 256x
+# compression of a float64 corpus), then answer queries against the
+# CODES with asymmetric distance computation (ADC): the query computes
+# one tiny per-block dot table against the centroids, and every
+# candidate scores with m table LOOKUPS + m-1 adds — no float vector is
+# ever touched at scan time. Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+#
+# Determinism (what makes the driver hash possible): centroids are the
+# lowest-id unit vectors (same anchor discipline as IVF/LSH — a trained
+# k-means per sub-space drops in via train_centroids exactly like
+# ivf_topk's `centroids="trained"` knob); block encoding is argmin of
+# sequential-fold squared L2, ties to the LOWEST centroid index via an
+# explicit comparison chain that renders identically in Spark and
+# DuckDB SQL.
+
+PQ_BLOCKS = 4
+PQ_K = 4
+
+
+def _sqd(a, b_lit):
+    """Sequential-fold squared L2 between an array column and a literal."""
+    return F.aggregate(
+        F.zip_with(a, F.lit(b_lit), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQD_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+)
+
+
+def _argmin_chain(ds):
+    """First index i with d_i <= d_j for all j > i — the argmin with
+    lowest-index tie-break, as a comparison chain whose IEEE semantics
+    render identically in both engines (NaN-free inputs)."""
+    if len(ds) == 1:
+        return F.lit(0)
+    out = None
+    for i in range(len(ds) - 1):
+        cond = None
+        for j in range(i + 1, len(ds)):
+            c = ds[i] <= ds[j]
+            cond = c if cond is None else (cond & c)
+        out = F.when(cond, F.lit(i)) if out is None else out.when(cond, F.lit(i))
+    return out.otherwise(F.lit(len(ds) - 1))
+
+
+def _argmin_chain_sql(ds: list[str]) -> str:
+    if len(ds) == 1:
+        return "0"
+    whens = []
+    for i in range(len(ds) - 1):
+        cond = " AND ".join(f"({ds[i]}) <= ({ds[j]})" for j in range(i + 1, len(ds)))
+        whens.append(f"WHEN {cond} THEN {i}")
+    return f"CASE {' '.join(whens)} ELSE {len(ds) - 1} END"
+
+
+def _pq_blocks(cents: list[tuple[int, list[float]]], n_blocks: int):
+    """(block_dim, per-block centroid slices). Centroid order == anchor
+    position order (0..k-1), the code value space."""
+    dim = len(cents[0][1])
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by {n_blocks} blocks")
+    bd = dim // n_blocks
+    return bd, [
+        [cv[b * bd : (b + 1) * bd] for _pos, cv in cents] for b in range(n_blocks)
+    ]
+
+
+def _pq_encoded(u: DataFrame, cents, n_blocks: int, id_col: str) -> DataFrame:
+    """(id, uv, c0..c{m-1}): per-block nearest-centroid codes — a
+    map-only codegen projection (centroid slices are literals), zero
+    shuffles over the corpus."""
+    bd, blocks = _pq_blocks(cents, n_blocks)
+    cols = [F.col(id_col), F.col("uv")]
+    for b, cslices in enumerate(blocks):
+        sl = F.slice(F.col("uv"), b * bd + 1, bd)
+        ds = [_sqd(sl, cs) for cs in cslices]
+        cols.append(_argmin_chain(ds).alias(f"c{b}"))
+    return u.select(*cols)
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_centroids: int = PQ_K,
+    n_blocks: int = PQ_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c0..c{m-1}, code): the compressed PQ index — what a
+    100 TB deployment actually WRITES as its ANN index table (the packed
+    ``code`` int is the storage form; at k=256 it's m bytes/vector)."""
+    u = with_unit(emb, id_col, vec_col)
+    cents = anchor_units(u, n_centroids, id_col=id_col)
+    if not cents:
+        fields = ", ".join(f"c{b} int" for b in range(n_blocks))
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, {fields}, code long"
+        )
+    enc = _pq_encoded(u, cents, n_blocks, id_col)
+    code = F.col("c0").cast("long")
+    for b in range(1, n_blocks):
+        code = code * F.lit(len(cents)) + F.col(f"c{b}")
+    return enc.select(
+        id_col, *[f"c{b}" for b in range(n_blocks)], code.alias("code")
+    )
+
+
+def pq_codes_sql(
+    src: str = "embeddings",
+    n_centroids: int = PQ_K,
+    n_blocks: int = PQ_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cw, code_exprs = _pq_sql_parts(n_centroids, n_blocks, id_col)
+    codes = ",\n         ".join(f"{e} AS c{b}" for b, e in enumerate(code_exprs))
+    pack = "CAST(c0 AS BIGINT)"
+    for b in range(1, n_blocks):
+        pack = f"({pack} * {n_centroids} + c{b})"
+    cols = ", ".join(f"c{b}" for b in range(n_blocks))
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+cents AS (
+  SELECT uv, CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cpos
+  FROM (SELECT {id_col}, uv FROM u ORDER BY {id_col} LIMIT {n_centroids})
+),
+cw AS ({cw})
+SELECT {id_col}, {cols}, {pack} AS code FROM (
+  SELECT {id_col},
+         {codes}
+  FROM u CROSS JOIN cw
+)
+"""
+
+
+def _pq_sql_parts(n_centroids: int, n_blocks: int, id_col: str, dim: int = 64):
+    """Shared oracle fragments: the 1-row centroid CTE body (cu0..cu{k-1}
+    via scalar subqueries) and the per-block argmin-code expressions.
+    ``dim`` matches the driver embeddings (64); the DataFrame side infers
+    it, the oracle renders it."""
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by {n_blocks} blocks")
+    bd = dim // n_blocks
+    cw = ", ".join(
+        f"(SELECT uv FROM cents WHERE cpos = {j}) AS cu{j}" for j in range(n_centroids)
+    )
+    code_exprs = []
+    for b in range(n_blocks):
+        lo, hi = b * bd + 1, (b + 1) * bd
+        ds = [
+            _SQD_SQL.format(a=f"uv[{lo}:{hi}]", b=f"cu{j}[{lo}:{hi}]")
+            for j in range(n_centroids)
+        ]
+        code_exprs.append(_argmin_chain_sql(ds))
+    return f"SELECT {cw}", code_exprs
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = PQ_K,
+    n_blocks: int = PQ_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the PQ codes: (q_id, neighbor_id, rank, approx_cos).
+
+    Plan shape at 100 TB: the corpus side is the CODES table only —
+    m ints per vector, the float embeddings never rescan; each of the
+    ``n_queries`` query rows precomputes its m per-block dot TABLES
+    (k doubles each) once, map-only, and is broadcast; per candidate the
+    score is m ``element_at`` lookups + m-1 adds inside codegen. The
+    only wide exchange is the final per-query top-k window (same
+    TakeOrderedAndProject shape as every other ANN operator here).
+    approx_cos approximates dot(q, x) on unit vectors — rank by it, then
+    exact-rerank the short list if needed (brute_topk on the survivors,
+    the standard PQ + rerank stack)."""
+    u = with_unit(emb, id_col, vec_col)
+    cents = anchor_units(u, n_centroids, id_col=id_col)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, approx_cos double"
+        )
+    bd, blocks = _pq_blocks(cents, n_blocks)
+    enc = _pq_encoded(u, cents, n_blocks, id_col)
+    c = enc.select(
+        F.col(id_col).alias("neighbor_id"), *[f"c{b}" for b in range(n_blocks)]
+    )
+    qcols = [F.col(id_col).alias("q_id")]
+    for b, cslices in enumerate(blocks):
+        sl = F.slice(F.col("uv"), b * bd + 1, bd)
+        qcols.append(F.array(*[dot(sl, F.lit(cs)) for cs in cslices]).alias(f"t{b}"))
+    q = u.where(F.col(id_col) < n_queries).select(*qcols)
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+    approx = F.element_at(F.col("t0"), F.col("c0") + 1)
+    for b in range(1, n_blocks):
+        approx = approx + F.element_at(F.col(f"t{b}"), F.col(f"c{b}") + 1)
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), "neighbor_id")
+    return (
+        pairs.select("q_id", "neighbor_id", approx.alias("approx_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "approx_cos")
+    )
+
+
+def pq_topk_sql(
+    src: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = PQ_K,
+    n_blocks: int = PQ_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    cw, code_exprs = _pq_sql_parts(n_centroids, n_blocks, id_col, dim=dim)
+    codes = ",\n         ".join(f"{e} AS c{b}" for b, e in enumerate(code_exprs))
+    bd = dim // n_blocks
+    # per-pair ADC score: CASE over the candidate's code selects the
+    # query-block x centroid dot (recomputed per pair here — the oracle
+    # optimizes for flatness, not speed; Spark looks it up from the
+    # precomputed per-query table, same VALUE since inputs are identical)
+    terms = []
+    for b in range(n_blocks):
+        lo, hi = b * bd + 1, (b + 1) * bd
+        whens = " ".join(
+            f"WHEN {j} THEN {dot_sql(f'q.uv[{lo}:{hi}]', f'cw.cu{j}[{lo}:{hi}]')}"
+            for j in range(n_centroids)
+        )
+        terms.append(f"(CASE c.c{b} {whens} END)")
+    approx = " + ".join(terms)
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+cents AS (
+  SELECT uv, CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cpos
+  FROM (SELECT {id_col}, uv FROM u ORDER BY {id_col} LIMIT {n_centroids})
+),
+cw AS ({cw}),
+codes AS (
+  SELECT {id_col},
+         {codes}
+  FROM u CROSS JOIN cw
+),
+pairs AS (
+  SELECT q.{id_col} AS q_id, c.{id_col} AS neighbor_id, {approx} AS approx_cos
+  FROM codes c CROSS JOIN cw, u q
+  WHERE q.{id_col} < {n_queries} AND q.{id_col} <> c.{id_col}
+)
+SELECT q_id, neighbor_id, rank, approx_cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""

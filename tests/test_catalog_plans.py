@@ -18,9 +18,13 @@ from log_formatter_spark import contract
 #                      oracle anchor (production depth swaps in lsh/ivf)
 #   ann_recall_*     — recall measurement harness: compares the ANN list
 #                      against the exact baseline by definition
+#   pq_topk          — ADC scan: every candidate is scored (that is the
+#                      point — m table lookups each, no float vectors),
+#                      so the tiny broadcast query side joins non-equi;
+#                      cell-pruned variants compose with ivf/lsh buckets
 CROSS_PRODUCT_OK = {
     "dedup_embedding", "similarity_topk", "hybrid_rrf",
-    "ann_recall_ivf", "ann_recall_lsh",
+    "ann_recall_ivf", "ann_recall_lsh", "pq_topk",
 }
 
 # streaming_pipeline_counts executes a full streaming job on call, and

@@ -1,0 +1,254 @@
+"""Semantic tests for the round-3d operators: incremental batch dedup,
+hashed linear classifier, mixture assembly, product quantization.
+
+The contract replica (test_contract.py) already pins each against its
+DuckDB oracle; these tests pin the SEMANTICS — the properties that stay
+true when the oracle is re-rendered or the fixture changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_formatter_spark.functions import classifier
+from log_formatter_spark.operators import corpus, dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- incremental dedup ------------------------------------------------------
+
+
+def _fixture_docs(spark):
+    rows = [
+        (0, "alpha beta"),        # batch, survivor of key K1
+        (5, "alpha  BETA!"),      # batch, same normalized key -> dup_in_batch
+        (10, "gamma delta"),      # batch, key present in corpus -> dup_of_corpus
+        (15, "unique batch doc"),  # batch, new
+        (1, "gamma delta"),       # corpus
+        (2, "corpus only text"),  # corpus
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_statuses(spark):
+    d = _fixture_docs(spark)
+    out = dedup.incremental_dedup(
+        batch=d.where(F.col("doc_id") % 5 == 0),
+        corpus=d.where(F.col("doc_id") % 5 != 0),
+    )
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {0: "new", 5: "dup_in_batch", 10: "dup_of_corpus", 15: "new"}
+
+
+def test_incremental_dedup_consistent_with_full_dedup(spark, docs):
+    """A batch doc is 'new' iff running exact_dedup over batch ∪ corpus
+    would keep it as a survivor whose key has no corpus member — i.e.
+    incremental processing reaches the same decisions as the full-corpus
+    recompute it replaces."""
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    rest = docs.where(F.col("doc_id") % 5 != 0)
+    inc = dedup.incremental_dedup(batch=batch, corpus=rest).collect()
+
+    full = {
+        r["doc_id"]: r
+        for r in dedup.exact_dedup(docs).collect()
+    }
+    corpus_keys = {
+        full[r["doc_id"]]["group_key"]
+        for r in rest.select("doc_id").collect()
+    }
+    batch_ids = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+    min_batch_by_key: dict[str, int] = {}
+    for i in batch_ids:
+        min_batch_by_key.setdefault(full[i]["group_key"], i)
+    for r in inc:
+        i, key = r["doc_id"], full[r["doc_id"]]["group_key"]
+        if key in corpus_keys:
+            assert r["status"] == "dup_of_corpus", i
+        elif min_batch_by_key[key] != i:
+            assert r["status"] == "dup_in_batch", i
+        else:
+            assert r["status"] == "new", i
+
+
+def test_incremental_dedup_empty_sides(spark, docs):
+    empty = docs.limit(0)
+    # empty batch: zero rows, stable schema
+    out = dedup.incremental_dedup(batch=empty, corpus=docs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "group_key", "status"]
+    # empty corpus: reduces to within-batch exact dedup
+    out2 = dedup.incremental_dedup(batch=docs, corpus=empty)
+    assert out2.where(F.col("status") == "dup_of_corpus").count() == 0
+    assert out2.count() == docs.count()
+
+
+# --- hashed linear classifier -----------------------------------------------
+
+
+def _py_md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_margin(text: str) -> tuple[int, int]:
+    toks = [t for t in text.lower().split(" ") if t]
+    m = 0
+    for t in toks:
+        bucket = _py_md5_60(t) % classifier.N_BUCKETS
+        m += _py_md5_60(f"w:{bucket}") % 17 - 8
+    return len(toks), m
+
+
+def test_hashed_margin_matches_python_reference(spark, docs):
+    sample = docs.orderBy("doc_id").limit(20)
+    out = {
+        r["doc_id"]: r
+        for r in classifier.hashed_margin(sample).collect()
+    }
+    for row in sample.collect():
+        n, m = _py_margin(row["text"])
+        got = out[row["doc_id"]]
+        assert got["n_tokens"] == n
+        assert got["margin"] == m
+        assert got["pred"] == (m > 0)
+        if n:
+            assert got["mean_margin"] == m / n
+
+
+def test_hashed_margin_empty_and_blank(spark):
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in classifier.hashed_margin(d).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["margin"] == 0
+    assert rows[1]["mean_margin"] is None
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["n_tokens"] == 1
+
+
+# --- mixture assembly --------------------------------------------------------
+
+
+def test_mixture_epochs_counts(spark, docs):
+    out = corpus.mixture_epochs(docs)
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    expected = sum(
+        per_src[s] * corpus.MIX_EPOCHS.get(s, corpus.MIX_DEFAULT_EPOCHS)
+        for s in per_src
+    )
+    assert out.count() == expected
+    # epoch index set per source is exactly 0..e-1
+    eps = {
+        (r["source"], r["mx"])
+        for r in out.groupBy("source").agg(F.max("epoch").alias("mx")).collect()
+    }
+    for s, mx in eps:
+        assert mx == corpus.MIX_EPOCHS.get(s, corpus.MIX_DEFAULT_EPOCHS) - 1
+    # the shuffle key is unique per replica (a doc's epochs never collide)
+    assert out.select("mix_key").distinct().count() == expected
+
+
+def test_mixture_epochs_empty(spark, docs):
+    out = corpus.mixture_epochs(docs.limit(0))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "source", "epoch", "mix_key"]
+
+
+# --- product quantization -----------------------------------------------------
+
+
+def test_pq_codes_shape_and_packing(spark, emb):
+    out = similarity.pq_codes(emb).collect()
+    assert len(out) == emb.count()
+    k = similarity.PQ_K
+    for r in out:
+        cs = [r[f"c{b}"] for b in range(similarity.PQ_BLOCKS)]
+        assert all(0 <= c < k for c in cs)
+        packed = 0
+        for c in cs:
+            packed = packed * k + c
+        assert r["code"] == packed
+
+
+def test_pq_adc_matches_python_reference(spark, emb):
+    """approx_cos must equal Σ_b dot(q_block, centroid[code_b]_block)
+    computed in plain Python over the same unit vectors — the ADC table
+    lookup is exact, not an approximation of the *score*."""
+    import math
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(80).collect()
+    }
+    units = {}
+    for i, v in vecs.items():
+        n = math.sqrt(sum((float(x)) * float(x) for x in v))
+        units[i] = [float(x) / n for x in v]
+    cents = [units[i] for i in sorted(units)[: similarity.PQ_K]]
+    bd = len(cents[0]) // similarity.PQ_BLOCKS
+
+    def code(u):
+        cs = []
+        for b in range(similarity.PQ_BLOCKS):
+            lo = b * bd
+            ds = [
+                sum((u[lo + t] - c[lo + t]) ** 2 for t in range(bd)) for c in cents
+            ]
+            cs.append(min(range(len(ds)), key=lambda j: (ds[j], j)))
+        return cs
+
+    out = similarity.pq_topk(emb, k=10).collect()
+    checked = 0
+    for r in out:
+        q, n = r["q_id"], r["neighbor_id"]
+        if q not in units or n not in units:
+            continue
+        cs = code(units[n])
+        expect = 0.0
+        for b in range(similarity.PQ_BLOCKS):
+            lo = b * bd
+            expect += sum(
+                units[q][lo + t] * cents[cs[b]][lo + t] for t in range(bd)
+            )
+        assert abs(r["approx_cos"] - expect) < 1e-9, (q, n)
+        checked += 1
+    assert checked >= 10
+
+
+def test_pq_topk_recall_floor(spark, emb):
+    """8-bit codes on a near-random corpus are coarse by design; the
+    test pins that ADC ranking still carries signal (recall@10 well
+    above the ~k/n random floor) and that every query returns k rows."""
+    k = 10
+    pq = similarity.pq_topk(emb, k=k)
+    ex = similarity.brute_topk(emb, k=k)
+    pqs = {(r["q_id"], r["neighbor_id"]) for r in pq.collect()}
+    exs = {(r["q_id"], r["neighbor_id"]) for r in ex.collect()}
+    assert len(pqs) == len(exs)
+    recall = len(pqs & exs) / len(exs)
+    n = emb.count()
+    assert recall >= 0.05 and recall > 3 * k / n, recall
+
+
+def test_pq_empty_input(spark, emb):
+    empty = emb.limit(0)
+    c = similarity.pq_codes(empty)
+    t = similarity.pq_topk(empty)
+    assert c.count() == 0 and t.count() == 0
+    assert c.columns == ["vec_id", "c0", "c1", "c2", "c3", "code"]
+    assert t.columns == ["q_id", "neighbor_id", "rank", "approx_cos"]
