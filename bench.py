@@ -61,6 +61,13 @@ HEADLINE = [
     "decontaminate",
     "boilerplate_frac",
     "error_burst",
+    # round 3d: incremental ingest dedup, classifier inference, mixture
+    # assembly, PQ compressed-index ANN
+    "incremental_dedup",
+    "classifier_margin",
+    "mixture_epochs",
+    "pq_topk",
+    "pq_topk_trained",
 ]
 
 
@@ -103,10 +110,20 @@ def _embedding_lsh_prod(spark, sf_dir):
     )
 
 
+def _pq_trained(spark, sf_dir):
+    # production PQ configuration (non-oracled knob): per-sub-space
+    # k-means codebooks instead of the deterministic anchor slices
+    from log_formatter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(emb, k=10, codebooks="trained")
+
+
 BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
+    "pq_topk_trained": _pq_trained,
 }
 
 

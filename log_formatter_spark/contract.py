@@ -789,6 +789,7 @@ _GATE_ORDER = [
     "split_contamination",
     "ann_recall_ivf",
     "ann_recall_lsh",
+    "ann_recall_pq",
     "dedup_embedding",
     "pipeline_counts_jvm",
     "dedup_simhash",
@@ -988,6 +989,7 @@ def _catalog() -> dict[str, QueryFn]:
         # in-engine ANN quality dashboards: recall@k vs the exact list
         "ann_recall_ivf": lambda s, d: similarity.ann_recall(_emb(s, d), method="ivf"),
         "ann_recall_lsh": lambda s, d: similarity.ann_recall(_emb(s, d), method="lsh"),
+        "ann_recall_pq": lambda s, d: similarity.ann_recall(_emb(s, d), method="pq"),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
@@ -1135,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": similarity.pq_topk_sql(k=10),
         "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),
         "ann_recall_lsh": similarity.ann_recall_sql(method="lsh"),
+        "ann_recall_pq": similarity.ann_recall_sql(method="pq"),
         "label_centroids": similarity.label_centroids_sql(),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),

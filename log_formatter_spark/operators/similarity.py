@@ -673,8 +673,10 @@ def ann_recall(
             emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
             id_col=id_col, vec_col=vec_col,
         )
+    elif method == "pq":
+        approx = pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     else:
-        raise ValueError(f"unknown method {method!r} (ivf|lsh)")
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq)")
     exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     hits = (
         exact.select("q_id", "neighbor_id")
@@ -696,11 +698,12 @@ def ann_recall_sql(
     k: int = 10,
     n_queries: int = 8,
 ) -> str:
-    approx = (
-        ivf_topk_sql(src, k=k, n_queries=n_queries)
-        if method == "ivf"
-        else lsh_topk_sql(src, k=k, n_queries=n_queries)
-    )
+    if method == "ivf":
+        approx = ivf_topk_sql(src, k=k, n_queries=n_queries)
+    elif method == "pq":
+        approx = pq_topk_sql(src, k=k, n_queries=n_queries)
+    else:
+        approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
     exact = brute_topk_sql(src, k=k, n_queries=n_queries)
     return f"""
 WITH exact AS ({exact}),
@@ -795,11 +798,97 @@ def _pq_blocks(cents: list[tuple[int, list[float]]], n_blocks: int):
     ]
 
 
-def _pq_encoded(u: DataFrame, cents, n_blocks: int, id_col: str) -> DataFrame:
+def train_pq_codebooks(
+    emb: DataFrame,
+    n_centroids: int = PQ_K,
+    n_blocks: int = PQ_BLOCKS,
+    sample_size: int = 65536,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, list[list[list[float]]]]:
+    """Per-sub-space k-means codebooks — the production PQ knob, exactly
+    ``train_centroids``'s role for IVF. This is what makes PQ *work*:
+    each block's k centroids are fit to THAT block's marginal
+    distribution (the whole point of product quantization — k^m
+    effective cells from m independent k-way quantizers), instead of
+    being slices of whichever vectors had the lowest ids.
+
+    Same determinism discipline as ``train_centroids``: bounded sample
+    in md5(id) order (rerun-stable, content-independent), greedy
+    farthest-point init, Lloyd's in driver numpy, dead cells re-seeded
+    at the worst-served point. Non-oracled (trained floats have no SQL
+    twin); the contract path stays on the anchor codebooks. Returns
+    ``(block_dim, blocks)`` shaped for ``pq_codes(..,
+    codebooks=blocks)``."""
+    import numpy as np
+
+    from log_formatter_spark.functions.hashing import md5_60
+
+    try:
+        memo_key = (
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            "pq", n_centroids, n_blocks, sample_size, n_iter, id_col, vec_col,
+        )
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _ANCHOR_MEMO:
+        return _ANCHOR_MEMO[memo_key]
+
+    u = with_unit(emb, id_col, vec_col)
+    rows = (
+        u.select("uv", md5_60(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["uv"] for r in rows], dtype=np.float64)
+    n = len(X)
+    if n == 0:
+        return (0, [])
+    dim = X.shape[1]
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by {n_blocks} blocks")
+    bd = dim // n_blocks
+    k = min(n_centroids, n)
+
+    blocks: list[list[list[float]]] = []
+    for b in range(n_blocks):
+        Xb = X[:, b * bd : (b + 1) * bd]
+        cents = [0]
+        d2 = np.full(n, np.inf)
+        for _ in range(1, k):
+            d2 = np.minimum(d2, ((Xb - Xb[cents[-1]]) ** 2).sum(axis=1))
+            cents.append(int(d2.argmax()))
+        C = Xb[cents].copy()
+        for _ in range(n_iter):
+            d = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(k):
+                members = Xb[assign == j]
+                if len(members):
+                    newC[j] = members.mean(axis=0)
+                else:
+                    worst = int(((Xb - C[assign]) ** 2).sum(axis=1).argmax())
+                    newC[j] = Xb[worst]
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        blocks.append([[float(v) for v in C[j]] for j in range(k)])
+    out = (bd, blocks)
+    if memo_key is not None:
+        if len(_ANCHOR_MEMO) > 64:
+            _ANCHOR_MEMO.clear()
+        _ANCHOR_MEMO[memo_key] = out
+    return out
+
+
+def _pq_encoded(u: DataFrame, bd: int, blocks, id_col: str) -> DataFrame:
     """(id, uv, c0..c{m-1}): per-block nearest-centroid codes — a
     map-only codegen projection (centroid slices are literals), zero
     shuffles over the corpus."""
-    bd, blocks = _pq_blocks(cents, n_blocks)
     cols = [F.col(id_col), F.col("uv")]
     for b, cslices in enumerate(blocks):
         sl = F.slice(F.col("uv"), b * bd + 1, bd)
@@ -808,27 +897,58 @@ def _pq_encoded(u: DataFrame, cents, n_blocks: int, id_col: str) -> DataFrame:
     return u.select(*cols)
 
 
+def _pq_resolve(
+    u: DataFrame,
+    emb: DataFrame,
+    n_centroids: int,
+    n_blocks: int,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+):
+    """(bd, blocks) from either the anchor discipline (oracle path) or
+    trained/explicit codebooks (production path)."""
+    if codebooks == "anchors":
+        cents = anchor_units(u, n_centroids, id_col=id_col)
+        if not cents:
+            return 0, []
+        return _pq_blocks(cents, n_blocks)
+    if codebooks == "trained":
+        return train_pq_codebooks(
+            emb, n_centroids, n_blocks, id_col=id_col, vec_col=vec_col
+        )
+    bd = len(codebooks[0][0]) if codebooks else 0
+    return bd, codebooks
+
+
 def pq_codes(
     emb: DataFrame,
     n_centroids: int = PQ_K,
     n_blocks: int = PQ_BLOCKS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks="anchors",
 ) -> DataFrame:
     """(vec_id, c0..c{m-1}, code): the compressed PQ index — what a
     100 TB deployment actually WRITES as its ANN index table (the packed
-    ``code`` int is the storage form; at k=256 it's m bytes/vector)."""
+    ``code`` int is the storage form; at k=256 it's m bytes/vector).
+    ``codebooks``: "anchors" (deterministic, oracle-exact), "trained"
+    (per-sub-space k-means via :func:`train_pq_codebooks`), or an
+    explicit (blocks) list — train once, encode many."""
     u = with_unit(emb, id_col, vec_col)
-    cents = anchor_units(u, n_centroids, id_col=id_col)
-    if not cents:
+    bd, blocks = _pq_resolve(
+        u, emb, n_centroids, n_blocks, id_col, vec_col, codebooks
+    )
+    if not blocks:
         fields = ", ".join(f"c{b} int" for b in range(n_blocks))
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, {fields}, code long"
         )
-    enc = _pq_encoded(u, cents, n_blocks, id_col)
+    enc = _pq_encoded(u, bd, blocks, id_col)
+    k = len(blocks[0])
     code = F.col("c0").cast("long")
     for b in range(1, n_blocks):
-        code = code * F.lit(len(cents)) + F.col(f"c{b}")
+        code = code * F.lit(k) + F.col(f"c{b}")
     return enc.select(
         id_col, *[f"c{b}" for b in range(n_blocks)], code.alias("code")
     )
@@ -892,6 +1012,7 @@ def pq_topk(
     n_blocks: int = PQ_BLOCKS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks="anchors",
 ) -> DataFrame:
     """ADC top-k over the PQ codes: (q_id, neighbor_id, rank, approx_cos).
 
@@ -906,13 +1027,14 @@ def pq_topk(
     exact-rerank the short list if needed (brute_topk on the survivors,
     the standard PQ + rerank stack)."""
     u = with_unit(emb, id_col, vec_col)
-    cents = anchor_units(u, n_centroids, id_col=id_col)
-    if not cents:
+    bd, blocks = _pq_resolve(
+        u, emb, n_centroids, n_blocks, id_col, vec_col, codebooks
+    )
+    if not blocks:
         return emb.sparkSession.createDataFrame(
             [], "q_id long, neighbor_id long, rank int, approx_cos double"
         )
-    bd, blocks = _pq_blocks(cents, n_blocks)
-    enc = _pq_encoded(u, cents, n_blocks, id_col)
+    enc = _pq_encoded(u, bd, blocks, id_col)
     c = enc.select(
         F.col(id_col).alias("neighbor_id"), *[f"c{b}" for b in range(n_blocks)]
     )

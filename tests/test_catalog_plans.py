@@ -24,7 +24,7 @@ from log_formatter_spark import contract
 #                      cell-pruned variants compose with ivf/lsh buckets
 CROSS_PRODUCT_OK = {
     "dedup_embedding", "similarity_topk", "hybrid_rrf",
-    "ann_recall_ivf", "ann_recall_lsh", "pq_topk",
+    "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq", "pq_topk",
 }
 
 # streaming_pipeline_counts executes a full streaming job on call, and

@@ -252,3 +252,61 @@ def test_pq_empty_input(spark, emb):
     assert c.count() == 0 and t.count() == 0
     assert c.columns == ["vec_id", "c0", "c1", "c2", "c3", "code"]
     assert t.columns == ["q_id", "neighbor_id", "rank", "approx_cos"]
+
+
+def test_pq_trained_codebooks_improve_distortion(spark, emb):
+    """Trained per-sub-space codebooks must beat the anchor slices on
+    the thing k-means optimizes — total quantization distortion (sum of
+    squared L2 from each block slice to its assigned centroid). Recall
+    on the near-random contract corpus is too noisy to pin an ordering;
+    distortion is the training objective and must improve."""
+    import math
+
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    bd = X.shape[1] // similarity.PQ_BLOCKS
+
+    def distortion(blocks):
+        total = 0.0
+        for b, cb in enumerate(blocks):
+            Xb = X[:, b * bd : (b + 1) * bd]
+            C = np.array(cb)
+            d = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    from log_formatter_spark.operators.similarity import (
+        _pq_blocks,
+        anchor_units,
+        train_pq_codebooks,
+        with_unit,
+    )
+
+    u = with_unit(emb, "vec_id", "embedding")
+    _, anchor_blocks = _pq_blocks(
+        anchor_units(u, similarity.PQ_K), similarity.PQ_BLOCKS
+    )
+    bd_t, trained_blocks = train_pq_codebooks(emb)
+    assert bd_t == bd
+    d_anchor = distortion(anchor_blocks)
+    d_trained = distortion(trained_blocks)
+    assert d_trained < d_anchor, (d_trained, d_anchor)
+    assert math.isfinite(d_trained)
+
+
+def test_pq_trained_topk_runs_and_full(spark, emb):
+    out = similarity.pq_topk(emb, k=10, codebooks="trained").collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert per_q and all(len(v) == 10 for v in per_q.values())
+
+
+def test_ann_recall_pq_bounds(spark, emb):
+    rows = similarity.ann_recall(emb, method="pq").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
