@@ -68,6 +68,8 @@ HEADLINE = [
     "mixture_epochs",
     "pq_topk",
     "pq_topk_trained",
+    "temporal_split",
+    "dsir_contrast",
 ]
 
 

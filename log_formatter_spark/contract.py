@@ -80,6 +80,9 @@ EMBED_MIN_COS = 0.4
 # conversation template-prefix dedup: key on the first k turns
 # (150 convs -> 57 prefix groups at sf0.01; 15 -> 14 at sf0.001)
 CONV_DEDUP_PREFIX = 2
+# temporal holdout cutoff: mid-corpus (events span 2024-01), splitting
+# the sessionized units into a non-trivial train/eval/straddle mix
+TEMPORAL_CUTOFF = "2024-01-16 00:00:00"
 # decontamination: every 23rd doc plays the "benchmark" corpus (31
 # flagged train docs at sf0.01 with 4-gram shingles; 36 at sf0.001)
 DECONTAM_EVAL_MOD = 23
@@ -754,6 +757,7 @@ _GATE_ORDER = [
     "sink_template_route",
     "winnow_pairs",
     "conversation_sessions",
+    "temporal_split",
     "conv_dedup",
     "conv_qa",
     "error_burst",
@@ -771,6 +775,7 @@ _GATE_ORDER = [
     "boilerplate_frac",
     "bigram_lm",
     "doc_lm_score",
+    "dsir_contrast",
     "pack_sequences",
     "chunk_docs",
     "asof_last_click",
@@ -886,6 +891,14 @@ def _catalog() -> dict[str, QueryFn]:
         "conversation_sessions": lambda s, d: sessions.conversation_sessions(
             transcripts_from_events(s, d)
         ),
+        # temporal holdout at SESSION granularity (every whole conv of a
+        # long-running agent straddles any cutoff — the session is the
+        # time-local unit; straddle rows are the explicit leak audit)
+        "temporal_split": lambda s, d: conversations.temporal_split(
+            sessions.numbered_sessions(transcripts_from_events(s, d)),
+            cutoff=TEMPORAL_CUTOFF,
+            unit_cols=("conv_id", "sess_id"),
+        ),
         "conversation_assembly": lambda s, d: assemble_conversations(
             transcripts_from_events(s, d)
         ),
@@ -970,6 +983,11 @@ def _catalog() -> dict[str, QueryFn]:
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
+        # DSIR-shaped importance weighting: re-weight the corpus toward
+        # the src0 "target domain" slice
+        "dsir_contrast": lambda s, d: olap.dsir_contrast(
+            _docs(s, d), target_pred=F.col("source") == "src0"
+        ),
         # training-sequence preparation
         "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
         "chunk_docs": lambda s, d: packing.chunk_docs(_docs(s, d)),
@@ -1061,6 +1079,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conversation_sessions": TRANSCRIPT_CTES
         + sessions.conversation_sessions_sql("transcripts"),
+        "temporal_split": TRANSCRIPT_CTES
+        + conversations.temporal_split_sql(
+            TEMPORAL_CUTOFF,
+            turns_cte=f"({sessions.numbered_sessions_sql('transcripts')}) _n",
+            unit_cols=("conv_id", "sess_id"),
+        ),
         "distinct_convs_hourly": TRANSCRIPT_CTES
         + "SELECT date_trunc('hour', ts) AS hour, count(DISTINCT conv_id) AS n_convs,"
         " count(*) AS n_turns FROM transcripts GROUP BY date_trunc('hour', ts)",
@@ -1126,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),
+        "dsir_contrast": olap.dsir_contrast_sql("source = 'src0'"),
         "pack_sequences": packing.pack_sequences_sql(),
         "chunk_docs": packing.chunk_docs_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),

@@ -259,3 +259,71 @@ FROM (
 )
 GROUP BY conv_id
 """
+
+
+# --- temporal split -----------------------------------------------------------
+
+
+def temporal_split(
+    turns: DataFrame,
+    cutoff: str,
+    unit_cols: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-based train/eval split at unit granularity with a leakage
+    audit: ``(*unit_cols, n_turns, first_ts, last_ts, split)``, split ∈
+    {'train', 'eval', 'straddle'} — train iff every turn of the unit
+    ends before ``cutoff``, eval iff every turn starts at/after it,
+    'straddle' otherwise.
+
+    The temporal-holdout discipline (train on the past, evaluate on the
+    future) breaks silently if the split is applied per-TURN: a unit
+    spanning the cutoff leaks future eval turns into training context.
+    Splitting on the unit's (min_ts, max_ts) makes the leak class
+    EXPLICIT as 'straddle' rows — drop or truncate them deliberately
+    instead of mislabeling them. The unit is configurable because it
+    IS the modeling decision: whole conversations of a long-running
+    agent span any cutoff (on the driver corpus every conv straddles),
+    so the useful unit is the (conv, session) from
+    ``sessions.numbered_sessions`` — time-local by construction. One
+    map-side-combinable groupBy over the unit key; timestamp
+    comparisons are exact, so the split is deterministic and
+    cross-engine hashable. NULL-ts turns would poison min/max ordering
+    differently per engine — filtered, documented.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    agg = (
+        turns.where(F.col(ts_col).isNotNull())
+        .groupBy(*unit_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    split = (
+        F.when(F.col("last_ts") < cut, "train")
+        .when(F.col("first_ts") >= cut, "eval")
+        .otherwise("straddle")
+    )
+    return agg.select(
+        *unit_cols, "n_turns", "first_ts", "last_ts", split.alias("split")
+    )
+
+
+def temporal_split_sql(
+    cutoff: str,
+    turns_cte: str = "transcripts",
+    unit_cols: tuple[str, ...] = ("conv_id",),
+) -> str:
+    keys = ", ".join(unit_cols)
+    return f"""
+SELECT {keys}, n_turns, first_ts, last_ts,
+       CASE WHEN last_ts < TIMESTAMP '{cutoff}' THEN 'train'
+            WHEN first_ts >= TIMESTAMP '{cutoff}' THEN 'eval'
+            ELSE 'straddle' END AS split
+FROM (
+  SELECT {keys}, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM {turns_cte} WHERE ts IS NOT NULL GROUP BY {keys}
+)
+"""

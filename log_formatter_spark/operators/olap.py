@@ -11,7 +11,7 @@ aggregation wherever the aggregate is algebraic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -449,6 +449,100 @@ scored AS (
 SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_bigrams,
        CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
        / {_LM_FP_SCALE!r} AS lm_score
+FROM scored GROUP BY {id_col}
+"""
+
+
+def dsir_contrast(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al., NeurIPS'23: select
+    pre-training data by how target-like it is under cheap n-gram LMs):
+    per doc, the mean contrast between the TARGET-domain bigram model
+    and the full-corpus SOURCE model over the doc's transitions —
+    positive = more target-like than the corpus average, the resampling
+    signal ("re-weight the crawl toward wiki-like text").
+
+    Determinism note: DSIR's log-ratio ``log p_t − log p_s`` would hang
+    the hash gate on ``ln``'s last-ulp JVM-vs-libm divergence (measured,
+    retrieval.py), so the contrast here is the probability DIFFERENCE
+    ``p_t(w2|w1) − p_s(w2|w1)`` in fixed-point ``floor(Δ·2^40)`` integer
+    sums — order-free, bit-exact both engines, same sign semantics per
+    transition. The log-ratio form is a one-line swap where
+    cross-engine hashing isn't required.
+
+    Plan: two vocabulary²-sized prob tables (target slice / full
+    corpus), both BROADCAST back onto the corpus-sized instance stream
+    (the doc side never shuffles on the join); transitions unseen in the
+    target LM contribute ``0 − p_s`` via the left join's coalesce. Wide
+    exchanges: the two count aggs + the per-doc sum — all map-side
+    combined. Returns (doc_id, n_bigrams, dsir_score).
+    """
+    inst = _bigram_instances(docs, id_col=id_col)
+    t_inst = _bigram_instances(docs.where(target_pred), id_col=id_col)
+
+    def _probs(i: DataFrame) -> DataFrame:
+        c = i.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+        ctx = Window.partitionBy("w1")
+        return c.withColumn("ctx_n", F.sum("n").over(ctx)).select(
+            "w1",
+            "w2",
+            (F.col("n").cast("double") / F.col("ctx_n").cast("double")).alias("p"),
+        )
+    p_s = _probs(inst).withColumnRenamed("p", "p_s")
+    p_t = _probs(t_inst).withColumnRenamed("p", "p_t")
+    scored = (
+        inst.join(F.broadcast(p_s), ["w1", "w2"])
+        .join(F.broadcast(p_t), ["w1", "w2"], "left")
+        .select(
+            id_col,
+            F.floor(
+                (F.coalesce(F.col("p_t"), F.lit(0.0)) - F.col("p_s"))
+                * F.lit(_LM_FP_SCALE)
+            ).alias("fp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        (
+            (F.sum("fp").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(_LM_FP_SCALE)
+        ).alias("dsir_score"),
+    )
+
+
+def dsir_contrast_sql(
+    target_pred_sql: str, src: str = "documents", id_col: str = "doc_id"
+) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    inst = f"""
+  SELECT {id_col}, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT {id_col}, unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
+    FROM (SELECT {id_col}, {toks} AS toks FROM {{rel}})
+  )"""
+    probs = """
+  SELECT w1, w2, CAST(n AS DOUBLE) /
+         CAST(CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p
+  FROM (SELECT w1, w2, count(*) AS n FROM {inst} GROUP BY 1, 2)"""
+    return f"""
+WITH inst AS ({inst.format(rel=src)}),
+t_inst AS ({inst.format(rel=f'(SELECT * FROM {src} WHERE {target_pred_sql}) _t')}),
+p_s AS ({probs.format(inst='inst')}),
+p_t AS ({probs.format(inst='t_inst')}),
+scored AS (
+  SELECT i.{id_col},
+         CAST(floor((COALESCE(t.p, 0.0) - s.p) * {_LM_FP_SCALE!r}) AS BIGINT) AS fp
+  FROM inst i
+  JOIN p_s s ON i.w1 = s.w1 AND i.w2 = s.w2
+  LEFT JOIN p_t t ON i.w1 = t.w1 AND i.w2 = t.w2
+)
+SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_bigrams,
+       CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       / {_LM_FP_SCALE!r} AS dsir_score
 FROM scored GROUP BY {id_col}
 """
 

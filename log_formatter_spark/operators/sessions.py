@@ -31,16 +31,17 @@ from pyspark.sql import functions as F
 DEFAULT_GAP = "30 minutes"
 
 
-def conversation_sessions(
-    transcripts: DataFrame, gap: str = DEFAULT_GAP
-) -> DataFrame:
-    """(conv_id, sess_id, session_start, session_end, n_turns)."""
+def numbered_sessions(transcripts: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
+    """Turn-level session numbering: (conv_id, turn_idx, ts, sess_id) —
+    the gaps-and-islands intermediate, exposed so downstream operators
+    (temporal_split at session granularity, per-session packing) can
+    key on the session without re-deriving the window."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")), 1
     ).otherwise(0)
-    numbered = transcripts.select(
+    return transcripts.select(
         "conv_id",
         "turn_idx",
         "ts",
@@ -49,11 +50,37 @@ def conversation_sessions(
         .cast("int")
         .alias("sess_id"),
     )
+
+
+def conversation_sessions(
+    transcripts: DataFrame, gap: str = DEFAULT_GAP
+) -> DataFrame:
+    """(conv_id, sess_id, session_start, session_end, n_turns)."""
+    numbered = numbered_sessions(transcripts, gap)
     return numbered.groupBy("conv_id", "sess_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_turns"),
     )
+
+
+def numbered_sessions_sql(
+    transcripts_cte: str = "transcripts", gap: str = DEFAULT_GAP
+) -> str:
+    return f"""
+SELECT conv_id, turn_idx, ts,
+       CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL {gap}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT conv_id, turn_idx, ts,
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+    FROM {transcripts_cte}
+  )
+)"""
 
 
 def conversation_sessions_sql(
@@ -62,21 +89,7 @@ def conversation_sessions_sql(
     return f"""
 SELECT conv_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_turns
-FROM (
-  SELECT conv_id, turn_idx, ts,
-         CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id
-  FROM (
-    SELECT conv_id, turn_idx, ts,
-           CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL {gap}
-                THEN 1 ELSE 0 END AS new_sess
-    FROM (
-      SELECT conv_id, turn_idx, ts,
-             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
-      FROM {transcripts_cte}
-    )
-  )
-)
+FROM ({numbered_sessions_sql(transcripts_cte, gap)})
 GROUP BY conv_id, sess_id
 """
 

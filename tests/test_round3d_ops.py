@@ -310,3 +310,77 @@ def test_ann_recall_pq_bounds(spark, emb):
     assert rows
     for r in rows:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+# --- temporal split + DSIR contrast -------------------------------------------
+
+
+def test_temporal_split_three_way(spark):
+    from log_formatter_spark.operators import conversations
+
+    rows = [
+        ("a", 1, "2024-01-10 10:00:00"),
+        ("a", 2, "2024-01-10 10:05:00"),   # all before -> train
+        ("b", 1, "2024-01-20 09:00:00"),   # all after  -> eval
+        ("c", 1, "2024-01-15 23:50:00"),
+        ("c", 2, "2024-01-16 00:10:00"),   # spans cutoff -> straddle
+        ("d", 1, None),                     # null ts: excluded entirely
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts string").select(
+        "conv_id", "turn_idx", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        r["conv_id"]: r
+        for r in conversations.temporal_split(t, "2024-01-16 00:00:00").collect()
+    }
+    assert out["a"]["split"] == "train" and out["a"]["n_turns"] == 2
+    assert out["b"]["split"] == "eval"
+    assert out["c"]["split"] == "straddle"
+    assert "d" not in out
+
+
+def test_temporal_split_no_leakage(spark, sf_dir):
+    """The audit property: no unit labeled train contains a turn at or
+    after the cutoff; no eval unit contains one before it."""
+    from log_formatter_spark import contract
+    from log_formatter_spark.operators import conversations, sessions
+    from log_formatter_spark.transcripts import transcripts_from_events
+
+    turns = sessions.numbered_sessions(transcripts_from_events(spark, sf_dir))
+    out = conversations.temporal_split(
+        turns, contract.TEMPORAL_CUTOFF, unit_cols=("conv_id", "sess_id")
+    )
+    cut = F.lit(contract.TEMPORAL_CUTOFF).cast("timestamp")
+    j = turns.join(out, ["conv_id", "sess_id"])
+    assert j.where((F.col("split") == "train") & (F.col("ts") >= cut)).count() == 0
+    assert j.where((F.col("split") == "eval") & (F.col("ts") < cut)).count() == 0
+    # units partition the turns: every non-null-ts turn is covered once
+    assert j.count() == turns.where(F.col("ts").isNotNull()).count()
+
+
+def test_dsir_contrast_separates_target_domain(spark, docs):
+    """The resampling signal: target-domain docs must average a higher
+    contrast score than the rest of the corpus (that is the property
+    DSIR selects on)."""
+    from log_formatter_spark.operators import olap
+
+    sc = olap.dsir_contrast(docs, target_pred=F.col("source") == "src0")
+    j = sc.join(docs.select("doc_id", "source"), "doc_id")
+    rows = {
+        r["is_t"]: r["avg"]
+        for r in j.groupBy((F.col("source") == "src0").alias("is_t"))
+        .agg(F.avg("dsir_score").alias("avg"))
+        .collect()
+    }
+    assert rows[True] > rows[False]
+
+
+def test_dsir_contrast_zero_when_target_is_corpus(spark, docs):
+    """Target == full corpus -> p_t == p_s for every transition, so all
+    scores collapse to (exactly) 0 modulo the fixed-point floor — i.e.
+    in (-2^-40, 0]."""
+    from log_formatter_spark.operators import olap
+
+    sc = olap.dsir_contrast(docs, target_pred=F.lit(True))
+    mx, mn = sc.agg(F.max("dsir_score"), F.min("dsir_score")).first()
+    assert mx <= 0.0 and mn > -1e-9
