@@ -483,6 +483,43 @@ def _streaming_conv_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/keys")
 
 
+def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming new-ingest dedup against the static corpus key index,
+    hash-checked against the batch oracle — the THIRD streaming ≡ batch
+    equivalence shipped as a driver row. maxFilesPerTrigger=1 over 4
+    input files forces the per-key state to survive multiple
+    micro-batches (a single-trigger run would not prove statefulness);
+    complete mode because the final table is the keys-sized aggregate.
+    Results round-trip through parquet so the returned plan is a plain
+    scan (catalog plan guard)."""
+    import tempfile
+
+    from log_formatter_spark.streaming.dedup import streaming_incremental_dedup
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_incdedup_")
+    docs = _inc_docs(spark, sf_dir)
+    src = f"{work}/in"
+    docs.where(F.col("doc_id") % 5 == 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_incremental_dedup(stream, docs.where(F.col("doc_id") % 5 != 0))
+        .writeStream.format("memory")
+        .queryName("lfs_inc_dedup_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_inc_dedup_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -698,6 +735,18 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_inc_dedup_sql() -> str:
+    from log_formatter_spark.streaming.dedup import streaming_incremental_dedup_sql
+
+    return streaming_incremental_dedup_sql(
+        batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
+        corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",
+    )
+
+
+_STREAMING_INC_DEDUP_SQL = _streaming_inc_dedup_sql()
+
+
 # --- catalog --------------------------------------------------------------
 
 
@@ -806,6 +855,7 @@ _GATE_ORDER = [
     "dedup_clusters",
     "lang_id_ngram",
     "dedup_embedding_lsh",
+    "streaming_incremental_dedup",
     "streaming_conv_keys",
     "streaming_pipeline_counts",
 ]
@@ -937,6 +987,7 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
         "incremental_dedup": _incremental_dedup,
+        "streaming_incremental_dedup": _streaming_incremental_dedup,
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d), n=3
         ),
@@ -1125,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
             batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
             corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",
         ),
+        "streaming_incremental_dedup": _STREAMING_INC_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
         "dedup_simhash": dedup.simhash_sql(),

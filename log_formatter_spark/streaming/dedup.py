@@ -39,3 +39,73 @@ def dedup_stream(
     """
     keys = keys or ["conv_id", "turn_idx"]
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_incremental_dedup(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest twin of ``operators.dedup.incremental_dedup``:
+    dedup an UNBOUNDED stream of new documents against a STATIC corpus
+    key index, maintaining per-content-key state as the stream runs —
+    ``(group_key, survivor_id, n_batch, in_corpus)``.
+
+    Plan: the per-row content key is a stateless projection; the corpus
+    probe is a stream-static LEFT join (the static distinct-key index is
+    the build side — at production scale the maintained bucketed/Iceberg
+    key table, re-read per micro-batch, never shuffled by the stream);
+    the only stateful node is the groupBy(group_key) aggregate whose
+    state is one row per distinct ingested key. min/count/bool-max
+    aggregates are order-insensitive, so the final table is DETERMINISTIC
+    at any parallelism and any micro-batch slicing — which is what lets
+    the driver hash it against the batch oracle (third streaming ≡ batch
+    equivalence, after the flagship aggregates and the session keys).
+    State is keys-sized; production bounds it with a watermark over an
+    ingest-time column (evict keys older than the redelivery horizon)
+    exactly like ``dedup_stream`` above.
+    """
+    from pyspark.sql import functions as F
+
+    from log_formatter_spark.operators.dedup import norm_text_expr
+
+    bk = batch_stream.select(
+        F.col(id_col), F.md5(norm_text_expr(text_col)).alias("group_key")
+    )
+    ck = (
+        corpus.select(F.md5(norm_text_expr(text_col)).alias("group_key"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    return (
+        bk.join(ck, "group_key", "left")
+        .groupBy("group_key")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_batch"),
+            F.max(F.coalesce(F.col("_in_corpus"), F.lit(False))).alias("in_corpus"),
+        )
+    )
+
+
+def streaming_incremental_dedup_sql(
+    batch_cte: str, corpus_cte: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Batch oracle for the streaming final table (DuckDB rendering)."""
+    from log_formatter_spark.operators.dedup import _NORM_RE
+
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+    return f"""
+WITH batch AS ({batch_cte}),
+corpus AS ({corpus_cte}),
+bk AS (SELECT {id_col}, md5({norm}) AS group_key FROM batch),
+ck AS (SELECT DISTINCT md5({norm}) AS group_key FROM corpus)
+SELECT b.group_key, min(b.{id_col}) AS survivor_id, count(*) AS n_batch,
+       (c.group_key IS NOT NULL) AS in_corpus
+FROM bk b LEFT JOIN ck c ON b.group_key = c.group_key
+GROUP BY b.group_key, (c.group_key IS NOT NULL)
+"""
