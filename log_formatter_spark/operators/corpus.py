@@ -405,6 +405,10 @@ def mixture_epochs(
     )
     return (
         docs.select(F.col(id_col), F.col(source_col).alias("source"), e.alias("_e"))
+        # epochs=0 (drop the source entirely) must yield NO rows: Spark's
+        # sequence(0, -1) would generate a DESCENDING [0, -1] — filter
+        # first, matching DuckDB's empty range(0, 0)
+        .where(F.col("_e") > 0)
         .select(
             id_col,
             "source",

@@ -384,3 +384,14 @@ def test_dsir_contrast_zero_when_target_is_corpus(spark, docs):
     sc = olap.dsir_contrast(docs, target_pred=F.lit(True))
     mx, mn = sc.agg(F.max("dsir_score"), F.min("dsir_score")).first()
     assert mx <= 0.0 and mn > -1e-9
+
+
+def test_mixture_epochs_zero_drops_source(spark):
+    d = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "b", "drop"), (3, "c", "keep")],
+        "doc_id long, text string, source string",
+    )
+    out = corpus.mixture_epochs(d, epochs={"keep": 2, "drop": 0})
+    rows = out.collect()
+    assert {r["source"] for r in rows} == {"keep"}
+    assert len(rows) == 4
