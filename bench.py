@@ -68,6 +68,7 @@ HEADLINE = [
     "mixture_epochs",
     "pq_topk",
     "pq_topk_trained",
+    "pq_topk_k16",
     "temporal_split",
     "dsir_contrast",
 ]
@@ -121,11 +122,22 @@ def _pq_trained(spark, sf_dir):
     return similarity.pq_topk(emb, k=10, codebooks="trained")
 
 
+def _pq_k16_kernel(spark, sf_dir):
+    # large-codebook configuration: k=16 per block (k*m = 64 >
+    # _PQ_EXPR_MAX_KM), so encode + query dtables run the Arrow matrix
+    # kernels — the plan-size-O(1) path that k=256 byte codes need
+    from log_formatter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(emb, k=10, n_centroids=16, codebooks="trained")
+
+
 BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
     "pq_topk_trained": _pq_trained,
+    "pq_topk_k16": _pq_k16_kernel,
 }
 
 

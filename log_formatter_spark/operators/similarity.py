@@ -885,10 +885,71 @@ def train_pq_codebooks(
     return out
 
 
+# above this k×m, PQ encode/dtable switch from per-centroid literal
+# expressions to the Arrow matrix kernels — same plan-size argument as
+# ivf's _CELL_EXPR_MAX_K (literals grow the plan O(k·m·bd); the kernel
+# holds the codebook matrix in the UDF closure, plan size O(1))
+_PQ_EXPR_MAX_KM = 32
+
+
+def _pq_kernels(bd: int, blocks):
+    """Arrow-batched PQ kernels for large codebooks: ``assign`` encodes
+    a unit-vector batch to per-block codes (one GEMM per block,
+    ``|c|² − 2x·c`` argmin — same argmin as the fold expressions up to
+    fp rounding at exact ties, which is why the ORACLE path stays on
+    the expression form); ``dtable`` emits the flattened m×k per-query
+    dot table the ADC scorer indexes with ``element_at(t, b·k+c_b+1)``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(cb, dtype=np.float64) for cb in blocks]
+    k = len(blocks[0])
+
+    @pandas_udf("array<int>")
+    def assign(uv):
+        import pandas as pd
+
+        if len(uv) == 0:
+            return pd.Series([], dtype="object")
+        X = np.vstack(uv.to_numpy())
+        codes = np.empty((len(X), len(mats)), dtype=np.int64)
+        for b, C in enumerate(mats):
+            Xb = X[:, b * bd : (b + 1) * bd]
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (Xb @ C.T)
+            codes[:, b] = d.argmin(axis=1)  # first min == lowest index
+        return pd.Series([[int(v) for v in row] for row in codes], index=uv.index)
+
+    @pandas_udf("array<double>")
+    def dtable(uv):
+        import pandas as pd
+
+        if len(uv) == 0:
+            return pd.Series([], dtype="object")
+        X = np.vstack(uv.to_numpy())
+        t = np.concatenate(
+            [X[:, b * bd : (b + 1) * bd] @ C.T for b, C in enumerate(mats)], axis=1
+        )  # (n, m*k), block-major — element_at(t, b*k + c + 1)
+        return pd.Series([[float(v) for v in row] for row in t], index=uv.index)
+
+    return assign, dtable, k
+
+
 def _pq_encoded(u: DataFrame, bd: int, blocks, id_col: str) -> DataFrame:
     """(id, uv, c0..c{m-1}): per-block nearest-centroid codes — a
-    map-only codegen projection (centroid slices are literals), zero
-    shuffles over the corpus."""
+    map-only projection (zero shuffles over the corpus): codegen'd
+    literal-centroid argmin chains for oracle-sized codebooks, the
+    Arrow matrix kernel beyond _PQ_EXPR_MAX_KM."""
+    if len(blocks) * len(blocks[0]) > _PQ_EXPR_MAX_KM:
+        assign, _dt, _k = _pq_kernels(bd, blocks)
+        enc = u.select(F.col(id_col), F.col("uv"), assign(F.col("uv")).alias("_cs"))
+        return enc.select(
+            id_col,
+            "uv",
+            *[
+                F.element_at(F.col("_cs"), b + 1).alias(f"c{b}")
+                for b in range(len(blocks))
+            ],
+        )
     cols = [F.col(id_col), F.col("uv")]
     for b, cslices in enumerate(blocks):
         sl = F.slice(F.col("uv"), b * bd + 1, bd)
@@ -1038,15 +1099,32 @@ def pq_topk(
     c = enc.select(
         F.col(id_col).alias("neighbor_id"), *[f"c{b}" for b in range(n_blocks)]
     )
-    qcols = [F.col(id_col).alias("q_id")]
-    for b, cslices in enumerate(blocks):
-        sl = F.slice(F.col("uv"), b * bd + 1, bd)
-        qcols.append(F.array(*[dot(sl, F.lit(cs)) for cs in cslices]).alias(f"t{b}"))
-    q = u.where(F.col(id_col) < n_queries).select(*qcols)
-    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-    approx = F.element_at(F.col("t0"), F.col("c0") + 1)
-    for b in range(1, n_blocks):
-        approx = approx + F.element_at(F.col(f"t{b}"), F.col(f"c{b}") + 1)
+    kk = len(blocks[0])
+    if n_blocks * kk > _PQ_EXPR_MAX_KM:
+        # large codebooks: one flattened m×k dot table per query row via
+        # the Arrow kernel (plan size O(1) in k), block-major lookups
+        _assign, dtable, _k = _pq_kernels(bd, blocks)
+        q = u.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"), dtable(F.col("uv")).alias("t")
+        )
+        pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        approx = F.element_at(F.col("t"), F.col("c0") + 1)
+        for b in range(1, n_blocks):
+            approx = approx + F.element_at(
+                F.col("t"), F.lit(b * kk) + F.col(f"c{b}") + 1
+            )
+    else:
+        qcols = [F.col(id_col).alias("q_id")]
+        for b, cslices in enumerate(blocks):
+            sl = F.slice(F.col("uv"), b * bd + 1, bd)
+            qcols.append(
+                F.array(*[dot(sl, F.lit(cs)) for cs in cslices]).alias(f"t{b}")
+            )
+        q = u.where(F.col(id_col) < n_queries).select(*qcols)
+        pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        approx = F.element_at(F.col("t0"), F.col("c0") + 1)
+        for b in range(1, n_blocks):
+            approx = approx + F.element_at(F.col(f"t{b}"), F.col(f"c{b}") + 1)
     w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), "neighbor_id")
     return (
         pairs.select("q_id", "neighbor_id", approx.alias("approx_cos"))

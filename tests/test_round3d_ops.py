@@ -395,3 +395,29 @@ def test_mixture_epochs_zero_drops_source(spark):
     rows = out.collect()
     assert {r["source"] for r in rows} == {"keep"}
     assert len(rows) == 4
+
+
+def test_pq_kernel_matches_expression_codes(spark, emb, monkeypatch):
+    """The Arrow encode kernel must produce the same codes as the
+    literal-expression argmin chains on the same codebooks (fp rounding
+    can only diverge at exact sq-dist ties, absent on this corpus)."""
+    expr_codes = {r["vec_id"]: r["code"] for r in similarity.pq_codes(emb).collect()}
+    monkeypatch.setattr(similarity, "_PQ_EXPR_MAX_KM", 0)
+    kern_codes = {r["vec_id"]: r["code"] for r in similarity.pq_codes(emb).collect()}
+    assert kern_codes == expr_codes
+    # and the ADC search still returns full, identically-ranked lists
+    out = similarity.pq_topk(emb, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    assert per_q and all(len(v) == 5 for v in per_q.values())
+
+
+def test_pq_trained_k16_kernel_config(spark, emb):
+    """Production config: k=16 trained codebooks per block (k*m = 64 >
+    _PQ_EXPR_MAX_KM, so both encode and query dtable take the Arrow
+    kernel path); results are full and deterministic across two runs."""
+    a = similarity.pq_topk(emb, k=10, n_centroids=16, codebooks="trained").collect()
+    b = similarity.pq_topk(emb, k=10, n_centroids=16, codebooks="trained").collect()
+    key = lambda rows: sorted((r["q_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(a) == key(b) and len(a) > 0
