@@ -64,6 +64,7 @@ HEADLINE = [
     # round 3d: incremental ingest dedup, classifier inference, mixture
     # assembly, PQ compressed-index ANN
     "incremental_dedup",
+    "incremental_neardup",
     "classifier_margin",
     "mixture_epochs",
     "pq_topk",
@@ -71,6 +72,7 @@ HEADLINE = [
     "pq_topk_k16",
     "temporal_split",
     "dsir_contrast",
+    "validate_events",
 ]
 
 

@@ -44,6 +44,7 @@ from log_formatter_spark.operators import (
     retrieval,
     sessions,
     similarity,
+    validate,
 )
 from log_formatter_spark.sources import kafka_fixture
 from log_formatter_spark.operators.filter import apply_filter
@@ -780,6 +781,7 @@ _GATE_ORDER = [
     "filter_project",
     "events_props_json",
     "events_hourly",
+    "validate_events",
     "distinct_convs_hourly",
     "doc_fingerprint",
     "lang_id",
@@ -840,6 +842,7 @@ _GATE_ORDER = [
     "vocab_topk",
     "similarity_lsh",
     "dedup_minhash",
+    "incremental_neardup",
     "split_contamination",
     "ann_recall_ivf",
     "ann_recall_lsh",
@@ -902,6 +905,10 @@ def _catalog() -> dict[str, QueryFn]:
         "asof_last_click": _asof_last_click,
         "kmv_distinct_users": _kmv_distinct_users,
         "events_rollup": lambda s, d: olap.events_rollup(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        # ingest-quality gate: per-rule violation counts in one scan
+        "validate_events": lambda s, d: validate.validate_events(
             s.read.parquet(f"{d}/events.parquet")
         ),
         "top_users_per_type": lambda s, d: olap.top_users_per_type(
@@ -992,6 +999,13 @@ def _catalog() -> dict[str, QueryFn]:
             _docs(s, d), n=3
         ),
         "dedup_minhash": lambda s, d: dedup.minhash_pairs(_docs(s, d), n=3),
+        # near-dup tier of incremental ingest: batch bands probe the
+        # corpus band index (natural near-dups cross the %5 split)
+        "incremental_neardup": lambda s, d: dedup.incremental_neardup(
+            _docs(s, d).where(F.col("doc_id") % 5 == 0),
+            _docs(s, d).where(F.col("doc_id") % 5 != 0),
+            n=3,
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         # blocked (pigeonhole-segment) plan; the oracle below is the
         # all-pairs SQL, so the driver's hash check doubles as the proof
@@ -1143,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": _ASOF_LAST_CLICK_SQL,
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
         "events_rollup": olap.events_rollup_sql(),
+        "validate_events": validate.validate_events_sql(),
         "top_users_per_type": olap.top_users_per_type_sql(),
         "purchasers_without_clicks": olap.purchasers_without_clicks_sql(),
         "user_rolling_count": olap.user_rolling_count_sql(),
@@ -1179,6 +1194,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_incremental_dedup": _STREAMING_INC_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
+        "incremental_neardup": dedup.incremental_neardup_sql(
+            "SELECT * FROM documents WHERE doc_id % 5 = 0",
+            "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+            n=3,
+        ),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(

@@ -215,6 +215,122 @@ def _band_hash_cols(prefix: str = "mh"):
     ]
 
 
+def _bands_df(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bh) rows from a signature table — the LSH band index
+    layout (what a deployment maintains keyed on (band, bh))."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("bh"))
+                    for b, c in enumerate(_band_hash_cols())
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    min_est: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup tier of incremental ingest (the MinHash sibling of
+    :func:`incremental_dedup`): (batch_doc, corpus_doc, est_jaccard)
+    for every new-batch doc whose LSH bands collide with the EXISTING
+    corpus's band index — without ever re-pairing the corpus against
+    itself.
+
+    The 10^12-doc shape: the corpus band index (id, band, bh) and
+    signature table are *maintained* artifacts — written once per ingest
+    (this module's signatures are deterministic, so appending a batch's
+    bands never invalidates history), bucketed on the join keys — so an
+    ingest pays bands(batch) ⋈ band_index (batch-sized probe of a
+    bucketed table) + signature lookups for the candidates only. Within
+    one call the corpus side derives from ``corpus`` and Spark's
+    exchange reuse serves the two signature consumers from one shuffle,
+    same as ``minhash_pairs``. Candidate work is Σ bucket_a×bucket_b per
+    (band, bh) — never |batch|×|corpus|.
+    """
+    sig_b = minhash_signatures(batch, n=n, text_col=text_col, id_col=id_col)
+    sig_c = minhash_signatures(corpus, n=n, text_col=text_col, id_col=id_col)
+    cand = (
+        _bands_df(sig_b, id_col)
+        .withColumnRenamed(id_col, "batch_doc")
+        .join(_bands_df(sig_c, id_col).withColumnRenamed(id_col, "corpus_doc"),
+              on=["band", "bh"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sa = sig_b.select(
+        F.col(id_col).alias("batch_doc"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    sb = sig_c.select(
+        F.col(id_col).alias("corpus_doc"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
+    )
+    out = (
+        cand.join(sa, "batch_doc")
+        .join(sb, "corpus_doc")
+        .select(
+            "batch_doc", "corpus_doc", (eq / F.lit(float(N_PERM))).alias("est_jaccard")
+        )
+    )
+    return out.where(F.col("est_jaccard") >= min_est)
+
+
+def incremental_neardup_sql(
+    batch_cte: str,
+    corpus_cte: str,
+    n: int = 3,
+    min_est: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    mins = _salted_min_sql()
+
+    def _bands(sig: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {id_col}, {b} AS band, md5("
+            + " || ',' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + k} AS VARCHAR)"
+                for k in range(ROWS_PER_BAND)
+            )
+            + f") AS bh FROM {sig}"
+            for b in range(N_BANDS)
+        )
+
+    eq = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    )
+    return f"""
+WITH batch AS ({batch_cte}),
+corpus AS ({corpus_cte}),
+sh_b AS ({shingles_sql('batch', n=n, text_col=text_col, id_col=id_col)}),
+sh_c AS ({shingles_sql('corpus', n=n, text_col=text_col, id_col=id_col)}),
+sig_b AS (SELECT {id_col}, {mins} FROM sh_b GROUP BY {id_col}),
+sig_c AS (SELECT {id_col}, {mins} FROM sh_c GROUP BY {id_col}),
+bands_b AS ({_bands('sig_b')}),
+bands_c AS ({_bands('sig_c')}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS batch_doc, b.{id_col} AS corpus_doc
+  FROM bands_b a JOIN bands_c b ON a.band = b.band AND a.bh = b.bh
+)
+SELECT batch_doc, corpus_doc, ({eq}) / {float(N_PERM)} AS est_jaccard
+FROM cand JOIN sig_b sa ON cand.batch_doc = sa.{id_col}
+          JOIN sig_c sb ON cand.corpus_doc = sb.{id_col}
+WHERE ({eq}) / {float(N_PERM)} >= {min_est}
+"""
+
+
 def minhash_pairs(
     df: DataFrame,
     n: int = 3,
@@ -236,17 +352,7 @@ def minhash_pairs(
     # plan) — no persist needed, nothing leaks into storage memory
     # (round-1 fix: the old persist here was never released).
     sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), c.alias("bh"))
-                    for b, c in enumerate(_band_hash_cols())
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bands = _bands_df(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band", "bh"])

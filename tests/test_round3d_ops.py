@@ -421,3 +421,48 @@ def test_pq_trained_k16_kernel_config(spark, emb):
     b = similarity.pq_topk(emb, k=10, n_centroids=16, codebooks="trained").collect()
     key = lambda rows: sorted((r["q_id"], r["rank"], r["neighbor_id"]) for r in rows)
     assert key(a) == key(b) and len(a) > 0
+
+
+# --- validation report ---------------------------------------------------------
+
+
+def test_validation_report_counts_injected_violations(spark):
+    from datetime import datetime
+
+    from log_formatter_spark.operators import validate
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, datetime(2024, 3, 1), 10, "click", 1.0),      # clean
+        (2, datetime(2024, 3, 1), None, "view", 2.0),     # null user
+        (3, None, 11, "purchase", 3.0),                    # null ts (+ ts rule: null pred -> violation)
+        (4, datetime(2024, 3, 1), 12, "bogus", 4.0),      # unknown type
+        (5, datetime(2023, 1, 1), 13, "error", 5.0),      # ts below range
+        (6, datetime(2024, 3, 1), 14, "signup", -1.0),    # nonpositive value
+        (6, datetime(2024, 3, 1), 15, "click", 6.0),      # duplicate id
+        (7, datetime(2024, 3, 1), 16, "click", None),     # null value -> violation (unevaluable)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    rep = {r["rule"]: r for r in validate.validate_events(df).collect()}
+    assert rep["null_user_id"]["n_violations"] == 1
+    assert rep["null_ts"]["n_violations"] == 1
+    assert rep["unknown_event_type"]["n_violations"] == 1
+    assert rep["ts_out_of_range"]["n_violations"] == 2  # row 5 + null-ts row 3
+    assert rep["nonpositive_value"]["n_violations"] == 2  # row 6 + null-value row 7
+    assert rep["duplicate_event_id"]["n_violations"] == 1
+    assert all(r["n_rows"] == 8 for r in rep.values())
+    assert rep["null_user_id"]["violation_rate"] == 1 / 8
+
+
+def test_validation_report_empty_input(spark):
+    from log_formatter_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    rep = {r["rule"]: r for r in validate.validate_events(df).collect()}
+    assert len(rep) == 6
+    assert all(r["n_rows"] == 0 and r["violation_rate"] is None for r in rep.values())
+    assert all(r["n_violations"] == 0 for r in rep.values())
