@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     # round 2b: as-of join, winnowing, IVF ANN, relational OLAP trio
     "asof_last_click",
+    "attribution_window",
     "doc_winnow",
     "similarity_ivf",
     "similarity_ivf_trained",

@@ -521,6 +521,18 @@ def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_formatter_spark.operators.asof import attribution_window
+
+    return attribution_window(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _attribution_window_sql() -> str:
+    from log_formatter_spark.operators.asof import attribution_window_sql
+
+    return attribution_window_sql()
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -830,6 +842,7 @@ _GATE_ORDER = [
     "pack_sequences",
     "chunk_docs",
     "asof_last_click",
+    "attribution_window",
     "dedup_minhash_signatures",
     "parse_labels",
     "corpus_filter",
@@ -903,6 +916,9 @@ def _catalog() -> dict[str, QueryFn]:
         "kafka_decode_raw": _kafka_decode_raw,
         "kafka_pipeline_routed": _kafka_pipeline_routed,
         "asof_last_click": _asof_last_click,
+        # multi-touch sibling of asof_last_click: ALL clicks in each
+        # purchase's trailing 1h window, via the bucketed interval join
+        "attribution_window": _attribution_window,
         "kmv_distinct_users": _kmv_distinct_users,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
@@ -1155,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_turns FROM transcripts GROUP BY date_trunc('hour', ts)",
         "dataset_split": _DATASET_SPLIT_SQL,
         "asof_last_click": _ASOF_LAST_CLICK_SQL,
+        "attribution_window": _attribution_window_sql(),
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
         "events_rollup": olap.events_rollup_sql(),
         "validate_events": validate.validate_events_sql(),

@@ -147,3 +147,45 @@ def test_incremental_neardup_consistent_with_full_pairs(spark, sf_dir):
         if (r["doc_a"] % 5 == 0) != (r["doc_b"] % 5 == 0)
     }
     assert inc == full
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join == the quadratic theta-join spec on random
+    data, including bucket-edge timestamps, multi-bucket intervals,
+    zero-length intervals, and inclusive bounds."""
+    import datetime as dt
+
+    from log_formatter_spark.operators.asof import interval_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 5, 1)
+    points = [
+        Row(k=rng.randrange(4), pid=i,
+            ts=base + dt.timedelta(minutes=rng.randrange(0, 48 * 60)))
+        for i in range(300)
+    ]
+    # some points exactly on hour edges (bucket boundaries)
+    points += [
+        Row(k=k, pid=1000 + k, ts=base + dt.timedelta(hours=k))
+        for k in range(4)
+    ]
+    intervals = []
+    for j in range(60):
+        lo = base + dt.timedelta(minutes=rng.randrange(0, 47 * 60))
+        span = rng.choice([0, 5, 90, 600])  # incl. zero-length + >1 bucket
+        intervals.append(
+            Row(k=rng.randrange(4), iid=j, lo=lo, hi=lo + dt.timedelta(minutes=span))
+        )
+    p = spark.createDataFrame(points, "k int, pid int, ts timestamp")
+    iv = spark.createDataFrame(intervals, "k int, iid int, lo timestamp, hi timestamp")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(p, iv, on="k", point_ts="ts").collect()
+    }
+    expect = {
+        (pr.pid, ir.iid)
+        for pr in points
+        for ir in intervals
+        if pr.k == ir.k and ir.lo <= pr.ts <= ir.hi
+    }
+    assert got == expect and expect  # non-trivial
