@@ -190,3 +190,56 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_dir(
+    spark,
+    src_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈total_bytes / target_bytes⌉ files, returning the new file count.
+
+    The unglamorous operation that keeps a 100 TB lake usable: streaming
+    sinks and per-trigger micro-batches leave thousands of KB-sized
+    files per partition, and scan cost at read time is dominated by
+    file-open overhead + tiny row groups long before data volume
+    matters (the driver also pays per-file listing). This is the
+    parquet-path analogue of Iceberg's rewrite_data_files / Delta's
+    OPTIMIZE on the same sink seam as write_routed.
+
+    Mechanics: size the output from the ACTUAL input bytes (no row
+    sampling), repartition — a real shuffle, paid once, amortized over
+    every later scan — optionally sorting within output files so
+    row-group min/max stats prune future range scans, then REPLACE the
+    directory atomically-enough for a single-writer lake: write to a
+    sibling temp dir, swap via rename. Readers racing the swap see the
+    old or the new listing, never a mix (the rename is one directory
+    inode change); true multi-writer isolation is what the table-format
+    seam (Iceberg snapshots) buys instead.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if not f.startswith("_") and not f.startswith("."):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp = src_dir.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = src_dir.rstrip("/") + "._compact_old"
+    os.rename(src_dir, old)
+    os.rename(tmp, src_dir)
+    shutil.rmtree(old)
+    return n_files

@@ -40,6 +40,17 @@ def main() -> None:
         if not os.path.isdir(d):
             print(json.dumps({"dir": d, "error": "missing"}))
             continue
+        # per-corpus warm-up: one untimed scan of each table so the
+        # first TIMED query doesn't absorb page-cache + codegen warm-up
+        # (it skewed incremental_dedup's 10× reading in BENCH §18)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                try:
+                    spark.read.parquet(os.path.join(d, f)).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception:
+                    pass
         times: dict[str, float] = {}
         for name in names:
             build = BENCH_OVERRIDES.get(name) or qs[name]

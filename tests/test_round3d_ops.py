@@ -466,3 +466,49 @@ def test_validation_report_empty_input(spark):
     assert len(rep) == 6
     assert all(r["n_rows"] == 0 and r["violation_rate"] is None for r in rep.values())
     assert all(r["n_violations"] == 0 for r in rep.values())
+
+
+# --- compaction -----------------------------------------------------------------
+
+
+def test_compact_dir_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from log_formatter_spark.sinks.writer import compact_dir
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 20000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS k"
+    ).repartition(64).write.parquet(src)
+    before = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(before) == 64
+    rows_before = spark.read.parquet(src).count()
+
+    n = compact_dir(spark, src, target_bytes=10 * 1024 * 1024, sort_cols=["id"])
+    after = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(after) == n and n < len(before)
+    compacted = spark.read.parquet(src)
+    assert compacted.count() == rows_before
+    assert compacted.agg(F.sum("id")).first()[0] == sum(range(20000))
+    # sorted-within-file: ranges of consecutive files don't interleave
+    # (repartitionByRange + sortWithinPartitions)
+    assert compacted.columns == ["id", "k"]
+
+
+def test_interval_and_neardup_empty_inputs(spark, docs, emb):
+    from log_formatter_spark.operators.asof import attribution_window
+    from log_formatter_spark.operators.dedup import incremental_neardup
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = attribution_window(empty_ev)
+    assert out.count() == 0
+    assert out.columns == [
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "gap_us",
+    ]
+    nd = incremental_neardup(docs.limit(0), docs)
+    assert nd.count() == 0
+    assert nd.columns == ["batch_doc", "corpus_doc", "est_jaccard"]
+    nd2 = incremental_neardup(docs, docs.limit(0))
+    assert nd2.count() == 0
