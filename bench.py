@@ -59,6 +59,7 @@ HEADLINE = [
     # round 3c: conversation-level curation + corpus hygiene
     "conv_dedup",
     "conv_qa",
+    "sft_pairs",
     "decontaminate",
     "boilerplate_frac",
     "error_burst",

@@ -63,6 +63,8 @@ from log_formatter_spark.transcripts import (
     TRANSCRIPT_PATTERN,
     TRANSCRIPTS_SQL,
     assemble_conversations,
+    sft_pairs,
+    sft_pairs_sql,
     transcripts_from_events,
 )
 
@@ -816,6 +818,7 @@ _GATE_ORDER = [
     "multimodal_resize",
     "doc_winnow",
     "conversation_assembly",
+    "sft_pairs",
     "distinctive_terms",
     "sink_template_route",
     "winnow_pairs",
@@ -975,6 +978,8 @@ def _catalog() -> dict[str, QueryFn]:
         "conversation_assembly": lambda s, d: assemble_conversations(
             transcripts_from_events(s, d)
         ),
+        # SFT example mining: (context window, assistant response) pairs
+        "sft_pairs": lambda s, d: sft_pairs(transcripts_from_events(s, d)),
         # conversation-level curation: ts-stripped canonical text (a
         # retried conv is identical content at a different wall clock),
         # first-2-turn template-prefix grouping (non-trivial collapse on
@@ -1195,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": sh.winnow_pairs_sql(n=3, w=4, min_shared=2),
         "repetition_score": sh.repetition_score_sql(n=3),
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
+        "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX

@@ -512,3 +512,37 @@ def test_interval_and_neardup_empty_inputs(spark, docs, emb):
     assert nd.columns == ["batch_doc", "corpus_doc", "est_jaccard"]
     nd2 = incremental_neardup(docs, docs.limit(0))
     assert nd2.count() == 0
+
+
+# --- SFT example mining -----------------------------------------------------------
+
+
+def test_sft_pairs_context_rendering(spark):
+    import hashlib
+
+    from log_formatter_spark.transcripts import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "how are you"),
+        ("c1", 3, "assistant", "fine"),
+        ("c1", 4, "user", "bye"),
+        ("c1", 5, "assistant", "later"),
+        ("c2", 0, "assistant", "opener"),  # empty context: excluded
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in sft_pairs(t, context_turns=4).collect()}
+    # turn 3's context: the 3 preceding turns (frame bounded at conv start)
+    ctx3 = "user: hi\nassistant: hello\nuser: how are you"
+    assert out[("c1", 3)]["context_md5"] == hashlib.md5(ctx3.encode()).hexdigest()
+    assert out[("c1", 3)]["context_chars"] == len(ctx3)
+    assert out[("c1", 3)]["response_md5"] == hashlib.md5(b"fine").hexdigest()
+    # turn 5's context: exactly the 4 preceding turns, older ones dropped
+    ctx5 = "assistant: hello\nuser: how are you\nassistant: fine\nuser: bye"
+    assert out[("c1", 5)]["context_md5"] == hashlib.md5(ctx5.encode()).hexdigest()
+    # opener with no context excluded; user turns never become examples
+    assert ("c2", 0) not in out
+    assert set(out) == {("c1", 1), ("c1", 3), ("c1", 5)}
