@@ -535,6 +535,45 @@ def _attribution_window_sql() -> str:
     return attribution_window_sql()
 
 
+def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (clicks stream ⋈
+    purchases stream), hash-checked against the batch theta-join oracle
+    — the FOURTH streaming ≡ batch driver row, and the one that
+    exercises Spark's two-sided join state + range-based eviction.
+    maxFilesPerTrigger=2 over 4 files forces matches whose sides arrive
+    in different micro-batches."""
+    import tempfile
+
+    from log_formatter_spark.streaming.joins import streaming_attribution
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_ssjoin_")
+    src = f"{work}/in"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    q = (
+        streaming_attribution(
+            _stream().where(F.col("event_type") == "click"),
+            _stream().where(F.col("event_type") == "purchase"),
+        )
+        .writeStream.format("memory")
+        .queryName("lfs_ssjoin_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_ssjoin_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -875,6 +914,7 @@ _GATE_ORDER = [
     "lang_id_ngram",
     "dedup_embedding_lsh",
     "streaming_incremental_dedup",
+    "streaming_attribution",
     "streaming_conv_keys",
     "streaming_pipeline_counts",
 ]
@@ -922,6 +962,7 @@ def _catalog() -> dict[str, QueryFn]:
         # multi-touch sibling of asof_last_click: ALL clicks in each
         # purchase's trailing 1h window, via the bucketed interval join
         "attribution_window": _attribution_window,
+        "streaming_attribution": _streaming_attribution,
         "kmv_distinct_users": _kmv_distinct_users,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
@@ -1177,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "asof_last_click": _ASOF_LAST_CLICK_SQL,
         "attribution_window": _attribution_window_sql(),
+        "streaming_attribution": _attribution_window_sql(),
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
         "events_rollup": olap.events_rollup_sql(),
         "validate_events": validate.validate_events_sql(),

@@ -106,3 +106,58 @@ def test_matches_batch_operator(spark, work):
         .collect()
     }
     assert t == expect
+
+
+def test_stream_stream_join_across_micro_batches(spark, work):
+    """A click and its purchase arriving in DIFFERENT micro-batches must
+    still match: the click waits in join state until the purchase side
+    catches up (maxFilesPerTrigger=1 over files written in order)."""
+    import datetime as dt
+
+    from log_formatter_spark.streaming.joins import streaming_attribution
+
+    src = f"{work}/ss_in"
+    base = dt.datetime(2024, 2, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    # file 1: clicks only; file 2: purchases only (some in window, some not)
+    spark.createDataFrame(
+        [
+            (1, base, 7, "click"),
+            (2, base + dt.timedelta(minutes=50), 7, "click"),
+            (3, base, 8, "click"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [
+            (10, base + dt.timedelta(minutes=55), 7, "purchase"),  # both clicks in 1h window
+            (11, base + dt.timedelta(hours=3), 8, "purchase"),     # click 3 outside window
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def _stream(t):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_type") == t)
+        )
+
+    q = (
+        streaming_attribution(_stream("click"), _stream("purchase"))
+        .writeStream.format("memory")
+        .queryName("ss_join_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"], r["gap_us"])
+        for r in spark.table("ss_join_mb").collect()
+    }
+    assert got == {
+        (10, 1, 55 * 60 * 1_000_000),
+        (10, 2, 5 * 60 * 1_000_000),
+    }
