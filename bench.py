@@ -75,6 +75,7 @@ HEADLINE = [
     "temporal_split",
     "dsir_contrast",
     "validate_events",
+    "quality_deciles",
 ]
 
 

@@ -875,6 +875,7 @@ _GATE_ORDER = [
     "bm25_topk",
     "hybrid_rrf",
     "source_quota_sample",
+    "quality_deciles",
     "hash_sample",
     "decontaminate",
     "boilerplate_frac",
@@ -1102,6 +1103,8 @@ def _catalog() -> dict[str, QueryFn]:
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
         # corpus sampling (mixing-weights curation)
         "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
+        # mixture-planning dashboard: token mass per quality decile
+        "quality_deciles": lambda s, d: corpus.quality_deciles(_docs(s, d)),
         "hash_sample": lambda s, d: corpus.hash_sample(_docs(s, d)),
         "decontaminate": lambda s, d: corpus.decontaminate(
             _docs(s, d), eval_pred=F.col("doc_id") % DECONTAM_EVAL_MOD == 0
@@ -1280,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_profile": corpus.source_profile_sql(),
         "source_quota_sample": corpus.source_quota_sample_sql(),
+        "quality_deciles": corpus.quality_deciles_sql(),
         "hash_sample": corpus.hash_sample_sql(),
         "decontaminate": corpus.decontaminate_sql(
             f"doc_id % {DECONTAM_EVAL_MOD} = 0"

@@ -364,6 +364,90 @@ SELECT {id_col}, {source_col} AS source, coin FROM (
 """
 
 
+def quality_deciles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-decile token-mass dashboard — the mixture-planning view
+    ("how many tokens live in each quality band?") that decides
+    curation thresholds and per-band sampling weights before anyone
+    trains: (decile, n_docs, total_tokens, lo_score, hi_score), decile
+    0 = worst tenth.
+
+    Exactness: decile = ``floor((rank-1)·10 / n)`` from a global
+    row_number over (quality_score, doc_id) — pure integer arithmetic
+    on an exact rank, so band edges are bit-identical in both engines
+    (interpolating percentiles never are). The global sort is the
+    honest cost: it sorts the NARROW (score, id) projection, not the
+    corpus, and the production swap at 10^12 docs is percentile_approx
+    thresholds + a map-only bucket assignment — same output schema, a
+    sketch-accuracy band boundary instead of an exact one. Quality and
+    token expressions are the same single-scan family as
+    ``corpus_filter``, so the dashboard and the filter can never
+    disagree about a doc's score."""
+    toks = tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tokens"),
+        tok_chars_expr(toks).alias("_tok_chars"),
+        _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+    ).select(
+        id_col,
+        "_n_tokens",
+        quality_expr(F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")).alias(
+            "quality_score"
+        ),
+    )
+    w = Window.orderBy("quality_score", id_col)
+    n = Window.partitionBy()
+    ranked = scored.select(
+        "quality_score",
+        "_n_tokens",
+        # explicit floor: DuckDB's CAST(double AS INTEGER) ROUNDS where
+        # Spark's truncates — floor() is the one spelling both agree on
+        F.floor(
+            (F.row_number().over(w) - 1) * 10 / F.count(F.lit(1)).over(n)
+        ).cast("int").alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tokens").alias("total_tokens"),
+        F.min("quality_score").alias("lo_score"),
+        F.max("quality_score").alias("hi_score"),
+    )
+
+
+def quality_deciles_sql(src: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL, _stop_hits_sql
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST(len({toks}) AS INTEGER) AS _n_tokens,
+         CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _tok_chars,
+         {_stop_hits_sql(toks, STOPWORDS)} AS _n_stop
+  FROM {src}
+),
+scored AS (
+  SELECT {id_col}, _n_tokens,
+         0.4 * least(1.0, _n_tokens / 100.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / _n_tokens - 5.0) / 5.0)
+       + 0.3 * least(1.0, (_n_stop / _n_tokens) * 4.0) AS quality_score
+  FROM base
+),
+ranked AS (
+  SELECT quality_score, _n_tokens,
+         CAST(floor((row_number() OVER (ORDER BY quality_score, {id_col}) - 1) * 10
+              / count(*) OVER ()) AS INTEGER) AS decile
+  FROM scored
+)
+SELECT decile, count(*) AS n_docs,
+       CAST(sum(_n_tokens) AS BIGINT) AS total_tokens,
+       min(quality_score) AS lo_score, max(quality_score) AS hi_score
+FROM ranked GROUP BY decile
+"""
+
+
 # --- training-mixture assembly ----------------------------------------------
 
 # Contract mixture: integer epoch multipliers per source (the Pile /

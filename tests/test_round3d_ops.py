@@ -546,3 +546,23 @@ def test_sft_pairs_context_rendering(spark):
     # opener with no context excluded; user turns never become examples
     assert ("c2", 0) not in out
     assert set(out) == {("c1", 1), ("c1", 3), ("c1", 5)}
+
+
+def test_quality_deciles_partition_properties(spark, docs):
+    out = corpus.quality_deciles(docs).collect()
+    n = docs.count()
+    sizes = {r["decile"]: r["n_docs"] for r in out}
+    assert set(sizes) == set(range(10))
+    assert sum(sizes.values()) == n
+    # exact-rank deciles: every band is floor(n/10) or ceil(n/10) docs
+    assert all(s in (n // 10, n // 10 + (1 if n % 10 else 0)) for s in sizes.values())
+    # bands are ordered and non-overlapping on score
+    rows = sorted(out, key=lambda r: r["decile"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_score"] <= b["lo_score"]
+    # token mass conservation
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != F.lit("")))
+        )
+    ).first()[0]
+    assert sum(r["total_tokens"] for r in out) == total
