@@ -489,9 +489,11 @@ def _streaming_conv_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming new-ingest dedup against the static corpus key index,
     hash-checked against the batch oracle — the THIRD streaming ≡ batch
-    equivalence shipped as a driver row. maxFilesPerTrigger=1 over 4
-    input files forces the per-key state to survive multiple
-    micro-batches (a single-trigger run would not prove statefulness);
+    equivalence shipped as a driver row. maxFilesPerTrigger=1 over 2
+    input files forces the per-key state to survive a trigger boundary
+    (a single-trigger run would not prove statefulness; deeper
+    multi-batch slicing is pinned in tests/test_streaming_incremental —
+    the gate pays for exactly one boundary, the r2 gate-budget lesson);
     complete mode because the final table is the keys-sized aggregate.
     Results round-trip through parquet so the returned plan is a plain
     scan (catalog plan guard)."""
@@ -502,7 +504,7 @@ def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lfs_contract_incdedup_")
     docs = _inc_docs(spark, sf_dir)
     src = f"{work}/in"
-    docs.where(F.col("doc_id") % 5 == 0).repartition(4).write.mode(
+    docs.where(F.col("doc_id") % 5 == 0).repartition(2).write.mode(
         "overwrite"
     ).parquet(src)
     stream = (
@@ -540,21 +542,25 @@ def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases stream), hash-checked against the batch theta-join oracle
     — the FOURTH streaming ≡ batch driver row, and the one that
     exercises Spark's two-sided join state + range-based eviction.
-    maxFilesPerTrigger=2 over 4 files forces matches whose sides arrive
-    in different micro-batches."""
+    maxFilesPerTrigger=1 over 2 files forces matches whose sides arrive
+    in different micro-batches (only click/purchase rows land in the
+    source — the other event types never join, so shipping them through
+    the stream is pure gate cost)."""
     import tempfile
 
     from log_formatter_spark.streaming.joins import streaming_attribution
 
     work = tempfile.mkdtemp(prefix="lfs_contract_ssjoin_")
     src = f"{work}/in"
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(src)
 
     def _stream():
         return (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
 
