@@ -55,8 +55,10 @@ def hashed_margin(
     score, fastText's default); ``pred`` thresholds the margin at 0.
 
     Map-only: the fold runs inside the projection, so scoring 10^12
-    docs is a scan — no shuffle, no join, no Python."""
-    toks = tokens(F.col(text_col))
+    docs is a scan — no shuffle, no join, no Python. NULL text scores
+    as empty (coalesce) — Spark's legacy size(NULL) = -1 would
+    otherwise diverge from DuckDB's len(NULL) = NULL."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     margin = F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -82,7 +84,7 @@ def hashed_margin(
 def hashed_margin_sql(
     src: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
-    toks = TOKENS_SQL.format(x=text_col)
+    toks = TOKENS_SQL.format(x=f"COALESCE({text_col}, '')")
     bucket = f"({MD5_60_SQL.format(x='t')} % {N_BUCKETS})"
     weight = (
         MD5_60_SQL.format(x=f"'w:' || CAST({bucket} AS VARCHAR)")

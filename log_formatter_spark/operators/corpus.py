@@ -385,17 +385,25 @@ def quality_deciles(
     ``corpus_filter``, so the dashboard and the filter can never
     disagree about a doc's score."""
     toks = tokens(F.col(text_col))
-    scored = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("_n_tokens"),
-        tok_chars_expr(toks).alias("_tok_chars"),
-        _stop_hits(toks, STOPWORDS).alias("_n_stop"),
-    ).select(
-        id_col,
-        "_n_tokens",
-        quality_expr(F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")).alias(
-            "quality_score"
-        ),
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("_n_tokens"),
+            tok_chars_expr(toks).alias("_tok_chars"),
+            _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+        )
+        # zero-token docs have a 0/0 (NULL/NaN) score whose ORDER BY
+        # position diverges across engines (Spark nulls-first, DuckDB
+        # nulls-last — the parity rule: filter nulls before any
+        # rank/order-statistic query); they carry no token mass anyway
+        .where(F.col("_n_tokens") > 0)
+        .select(
+            id_col,
+            "_n_tokens",
+            quality_expr(
+                F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")
+            ).alias("quality_score"),
+        )
     )
     w = Window.orderBy("quality_score", id_col)
     n = Window.partitionBy()
@@ -403,9 +411,12 @@ def quality_deciles(
         "quality_score",
         "_n_tokens",
         # explicit floor: DuckDB's CAST(double AS INTEGER) ROUNDS where
-        # Spark's truncates — floor() is the one spelling both agree on
+        # Spark's truncates — floor() is the one spelling both agree on.
+        # row_number is 32-bit in Spark: cast long BEFORE *10 or the
+        # rank arithmetic wraps past ~214M docs
         F.floor(
-            (F.row_number().over(w) - 1) * 10 / F.count(F.lit(1)).over(n)
+            (F.row_number().over(w).cast("long") - 1) * 10
+            / F.count(F.lit(1)).over(n)
         ).cast("int").alias("decile"),
     )
     return ranked.groupBy("decile").agg(
@@ -433,7 +444,7 @@ scored AS (
          0.4 * least(1.0, _n_tokens / 100.0)
        + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / _n_tokens - 5.0) / 5.0)
        + 0.3 * least(1.0, (_n_stop / _n_tokens) * 4.0) AS quality_score
-  FROM base
+  FROM base WHERE _n_tokens > 0
 ),
 ranked AS (
   SELECT quality_score, _n_tokens,

@@ -64,11 +64,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).withColumn("is_dup", F.col("dup_rank") > 1)
 
 
-def exact_dedup_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
-    norm = (
+def norm_text_sql(text_col: str = "text") -> str:
+    """DuckDB rendering of :func:`norm_text_expr` — the ONE group-key
+    normalization shared by the exact, incremental and streaming dedup
+    tiers (three hand-copies would let them silently disagree)."""
+    return (
         f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
         f" ' +', ' ', 'g'))"
     )
+
+
+def exact_dedup_sql(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = norm_text_sql(text_col)
     return f"""
 SELECT {id_col}, group_key,
        CAST(row_number() OVER (PARTITION BY group_key ORDER BY {id_col}) AS INTEGER) AS dup_rank,
@@ -129,10 +136,7 @@ def incremental_dedup_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    norm = (
-        f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
-        f" ' +', ' ', 'g'))"
-    )
+    norm = norm_text_sql(text_col)
     return f"""
 WITH batch AS ({batch_cte}),
 corpus AS ({corpus_cte}),

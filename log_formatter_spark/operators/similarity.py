@@ -702,8 +702,10 @@ def ann_recall_sql(
         approx = ivf_topk_sql(src, k=k, n_queries=n_queries)
     elif method == "pq":
         approx = pq_topk_sql(src, k=k, n_queries=n_queries)
-    else:
+    elif method == "lsh":
         approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
+    else:  # mirror the DataFrame twin — a typo must not yield lsh SQL
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq)")
     exact = brute_topk_sql(src, k=k, n_queries=n_queries)
     return f"""
 WITH exact AS ({exact}),
@@ -1005,6 +1007,7 @@ def pq_codes(
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, {fields}, code long"
         )
+    n_blocks = len(blocks)  # explicit codebooks win over the parameter
     enc = _pq_encoded(u, bd, blocks, id_col)
     k = len(blocks[0])
     code = F.col("c0").cast("long")
@@ -1047,7 +1050,14 @@ def _pq_sql_parts(n_centroids: int, n_blocks: int, id_col: str, dim: int = 64):
     """Shared oracle fragments: the 1-row centroid CTE body (cu0..cu{k-1}
     via scalar subqueries) and the per-block argmin-code expressions.
     ``dim`` matches the driver embeddings (64); the DataFrame side infers
-    it, the oracle renders it."""
+    it, the oracle renders it.
+
+    Assumes the corpus has ≥ ``n_centroids`` rows (true at every
+    contract sf): with fewer, the missing cu{j} scalar subqueries are
+    NULL, every ``d <= NULL`` comparison nullifies its WHEN branch and
+    the CASE falls to ELSE — while the DataFrame side correctly argmins
+    over the smaller real anchor set. Tiny-corpus oracle parity would
+    need the k_eff rendered at call time."""
     if dim % n_blocks:
         raise ValueError(f"dim {dim} not divisible by {n_blocks} blocks")
     bd = dim // n_blocks
@@ -1095,6 +1105,7 @@ def pq_topk(
         return emb.sparkSession.createDataFrame(
             [], "q_id long, neighbor_id long, rank int, approx_cos double"
         )
+    n_blocks = len(blocks)  # explicit codebooks win over the parameter
     enc = _pq_encoded(u, bd, blocks, id_col)
     c = enc.select(
         F.col(id_col).alias("neighbor_id"), *[f"c{b}" for b in range(n_blocks)]

@@ -64,7 +64,10 @@ def validation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
 # --- contract instantiation over the events table ---------------------------
 
-EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+# single source of truth for the enum (olap.events_pivot uses the same
+# list; a fixture change must not leave two copies disagreeing)
+from log_formatter_spark.operators.olap import EVENT_TYPES  # noqa: E402
+
 TS_LO, TS_HI = "2024-01-01 00:00:00", "2025-01-01 00:00:00"
 
 

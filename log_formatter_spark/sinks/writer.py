@@ -213,11 +213,14 @@ def compact_dir(
     sampling), repartition — a real shuffle, paid once, amortized over
     every later scan — optionally sorting within output files so
     row-group min/max stats prune future range scans, then REPLACE the
-    directory atomically-enough for a single-writer lake: write to a
-    sibling temp dir, swap via rename. Readers racing the swap see the
-    old or the new listing, never a mix (the rename is one directory
-    inode change); true multi-writer isolation is what the table-format
-    seam (Iceberg snapshots) buys instead.
+    directory via temp-write + two renames. That is SINGLE-WRITER,
+    OFFLINE-WINDOW semantics only: the two renames are not one atomic
+    exchange, so a reader racing the swap can catch the instant the
+    path is absent, and a crash between them strands the data at the
+    ``._compact_old`` sibling (recoverable by hand). Lock out readers
+    for the swap; true concurrent compaction is exactly what the
+    table-format seam (Iceberg rewrite_data_files snapshots) buys —
+    this utility is the parquet-path stopgap.
     """
     import math
     import os

@@ -93,12 +93,9 @@ def streaming_incremental_dedup_sql(
     batch_cte: str, corpus_cte: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
     """Batch oracle for the streaming final table (DuckDB rendering)."""
-    from log_formatter_spark.operators.dedup import _NORM_RE
+    from log_formatter_spark.operators.dedup import norm_text_sql
 
-    norm = (
-        f"trim(regexp_replace(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g'),"
-        f" ' +', ' ', 'g'))"
-    )
+    norm = norm_text_sql(text_col)
     return f"""
 WITH batch AS ({batch_cte}),
 corpus AS ({corpus_cte}),

@@ -566,3 +566,58 @@ def test_quality_deciles_partition_properties(spark, docs):
         )
     ).first()[0]
     assert sum(r["total_tokens"] for r in out) == total
+
+
+# --- review-fix regressions (round-3d code review) -----------------------------
+
+
+def test_hashed_margin_null_text(spark):
+    d = spark.createDataFrame([(1, None), (2, "ok")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classifier.hashed_margin(d).collect()}
+    # NULL text scores as empty, not as size(NULL) = -1
+    assert rows[1]["n_tokens"] == 0 and rows[1]["margin"] == 0
+
+
+def test_quality_deciles_excludes_zero_token_docs(spark, docs):
+    weird = docs.limit(5).withColumn("text", F.lit("")).unionByName(docs)
+    out = corpus.quality_deciles(weird).collect()
+    # empty docs carry no token mass and must not shift decile edges
+    assert sum(r["n_docs"] for r in out) == docs.count()
+
+
+def test_sft_pairs_null_turns_excluded(spark):
+    from log_formatter_spark.transcripts import sft_pairs
+
+    rows = [
+        ("c", 0, "user", "hi"),
+        ("c", 1, None, "ghost"),        # null role: excluded from frames
+        ("c", 2, "assistant", None),    # null text: excluded entirely
+        ("c", 3, "assistant", "resp"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r["conv_id"], r["turn_idx"]) for r in sft_pairs(t).collect()}
+    assert out == {("c", 3)}
+    import hashlib
+
+    row3 = sft_pairs(t).collect()[0]
+    assert row3["context_md5"] == hashlib.md5(b"user: hi").hexdigest()
+
+
+def test_pq_explicit_codebooks_override_n_blocks(spark, emb):
+    """Explicit codebooks define the block count; the n_blocks parameter
+    must not silently truncate the code (review finding)."""
+    bd, blocks8 = similarity.train_pq_codebooks(emb, n_centroids=2, n_blocks=8)
+    out = similarity.pq_codes(emb, codebooks=blocks8).columns
+    assert out == ["vec_id", *[f"c{b}" for b in range(8)], "code"]
+    topk = similarity.pq_topk(emb, k=5, codebooks=blocks8)
+    per_q = {}
+    for r in topk.collect():
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert per_q and all(len(v) == 5 for v in per_q.values())
+
+
+def test_ann_recall_sql_rejects_unknown_method():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.ann_recall_sql(method="pqq")
