@@ -110,8 +110,14 @@ def decode_features(
                 # Non-ASCII: byte != char position; take the exact path.
                 feats = _decode_python(pdf)
             else:
+                # Empty rows must not index the flat buffer at all: a
+                # trailing empty payload has offsets[r] == big.size (out of
+                # bounds), and a mid-batch one would read its neighbour's
+                # first byte. Clamp their offsets to 0 (always in bounds
+                # when big.size > 0), then zero their output rows.
                 safe = np.maximum(lens, 1)
-                pos = offsets[:, None] + (np.arange(n_features)[None, :] % safe[:, None])
+                off = np.where(lens > 0, offsets, 0)
+                pos = off[:, None] + (np.arange(n_features)[None, :] % safe[:, None])
                 mat = (
                     big[pos].astype(np.float32)
                     if big.size

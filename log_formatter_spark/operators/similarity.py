@@ -94,17 +94,12 @@ def anchor_units(
     tiny in rows but a full job round-trip — was the whole
     similarity_lsh r1→r2 bench regression (+0.9 s per call, BENCH r2
     §7). ivf_topk's 8 centroids and lsh_topk's 8 anchors share one
-    entry. Keyed on the ANALYZED plan, so two reads of the same path
-    hit; a changed path/schema misses (contents are assumed immutable
-    mid-session, which holds for warehouse tables)."""
-    try:
-        key = (
-            u._jdf.queryExecution().analyzed().semanticHash(),
-            n_anchors,
-            id_col,
-        )
-    except Exception:
-        key = None
+    entry. Keyed on the ANALYZED plan plus an input-file fingerprint
+    (mtime+size for small local listings — see ``_memo_key``), so two
+    reads of the same path hit, while a changed path/schema or an
+    overwritten parquet directory misses; ``clear_anchor_memo()`` is the
+    explicit reset for sources the fingerprint can't see."""
+    key = _memo_key(u, n_anchors, id_col)
     if key is not None and key in _ANCHOR_MEMO:
         return _ANCHOR_MEMO[key]
     rows = (
@@ -119,6 +114,53 @@ def anchor_units(
 
 
 _ANCHOR_MEMO: dict[tuple, list] = {}
+
+
+def clear_anchor_memo() -> None:
+    """Drop every memoized anchor/centroid/codebook result.
+
+    Call after overwriting a parquet path that an earlier query in the
+    same process already read (re-ingest, fixture reuse): the memo key
+    includes a file-list + mtime fingerprint for small file-backed plans,
+    but non-file sources and >64-file tables fall back to the analyzed
+    plan hash, which cannot see a content change behind the same path."""
+    _ANCHOR_MEMO.clear()
+
+
+def _memo_key(df: DataFrame, *extras) -> tuple | None:
+    """Memo key for deterministic driver-side training/collect results:
+    (analyzed-plan semanticHash, input fingerprint, *extras).
+
+    The plan hash alone is blind to a path overwritten mid-session (r3
+    ADVICE: stale anchors vs a DuckDB oracle reading the new bytes), so
+    file-backed plans fold in the sorted input-file list, with (mtime_ns,
+    size) per file when the listing is small enough to stat cheaply.
+    Returns None (no memoization) when the plan hash is unavailable."""
+    try:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    stamped: tuple = tuple(files)
+    if 0 < len(files) <= 64:
+        import os
+        from urllib.parse import urlparse
+
+        def _stamp(uri: str):
+            p = urlparse(uri)
+            if p.scheme in ("", "file"):
+                try:
+                    st = os.stat(p.path)
+                    return (uri, st.st_mtime_ns, st.st_size)
+                except OSError:
+                    return (uri,)
+            return (uri,)
+
+        stamped = tuple(_stamp(f) for f in files)
+    return (plan_hash, stamped, *extras)
 
 
 def bucket_expr(anchors: list[tuple[int, list[float]]], bit_of: dict[int, int]):
@@ -583,13 +625,9 @@ def train_centroids(
     # relation, knobs), and the production pattern is train-once /
     # assign-many — repeated ivf_topk(centroids="trained") calls must
     # not re-run Lloyd's
-    try:
-        memo_key = (
-            emb._jdf.queryExecution().analyzed().semanticHash(),
-            "kmeans", n_centroids, sample_size, n_iter, seed, id_col, vec_col,
-        )
-    except Exception:
-        memo_key = None
+    memo_key = _memo_key(
+        emb, "kmeans", n_centroids, sample_size, n_iter, seed, id_col, vec_col
+    )
     if memo_key is not None and memo_key in _ANCHOR_MEMO:
         return _ANCHOR_MEMO[memo_key]
 
@@ -827,13 +865,9 @@ def train_pq_codebooks(
 
     from log_formatter_spark.functions.hashing import md5_60
 
-    try:
-        memo_key = (
-            emb._jdf.queryExecution().analyzed().semanticHash(),
-            "pq", n_centroids, n_blocks, sample_size, n_iter, id_col, vec_col,
-        )
-    except Exception:
-        memo_key = None
+    memo_key = _memo_key(
+        emb, "pq", n_centroids, n_blocks, sample_size, n_iter, id_col, vec_col
+    )
     if memo_key is not None and memo_key in _ANCHOR_MEMO:
         return _ANCHOR_MEMO[memo_key]
 

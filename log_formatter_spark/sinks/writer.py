@@ -221,10 +221,39 @@ def compact_dir(
     for the swap; true concurrent compaction is exactly what the
     table-format seam (Iceberg rewrite_data_files snapshots) buys —
     this utility is the parquet-path stopgap.
+
+    LOCAL FILESYSTEM ONLY: sizing walks the directory with ``os.walk``
+    and the swap uses POSIX renames, so ``src_dir`` must be a
+    driver-local path (``hdfs://`` / ``s3a://`` layouts that
+    ``spark.read.parquet`` happily accepts would miscount sizes or fail
+    the rename). On object stores / HDFS, compact through the table
+    format's own rewrite action instead. Validated up front, as are
+    leftover ``._compact_tmp`` / ``._compact_old`` siblings from a
+    prior crash (which would otherwise make the renames fail midway).
     """
     import math
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(src_dir).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_dir requires a driver-local directory; got scheme "
+            f"{scheme!r} ({src_dir}) — use the table format's rewrite "
+            f"action (e.g. Iceberg rewrite_data_files) for remote storage"
+        )
+    local_dir = urlparse(src_dir).path if scheme == "file" else src_dir
+    if not os.path.isdir(local_dir):
+        raise ValueError(f"compact_dir: not a local directory: {src_dir}")
+    src_dir = local_dir
+    for sibling in ("._compact_tmp", "._compact_old"):
+        leftover = src_dir.rstrip("/") + sibling
+        if os.path.exists(leftover):
+            raise ValueError(
+                f"compact_dir: leftover {leftover} from a prior run — "
+                f"recover or remove it before compacting"
+            )
 
     total = 0
     for root, _dirs, files in os.walk(src_dir):

@@ -59,6 +59,25 @@ def test_empty_payload_safe(spark):
     assert resize_pooled(attach_payload(df)).collect() == []
 
 
+def test_empty_payload_mixed_batch(spark):
+    """Regression (r3 ADVICE): a mixed ASCII batch whose FINAL payload is
+    empty indexed past the flat buffer (offsets[last] == big.size) on the
+    numpy path; a mid-batch empty row read its neighbour's first byte.
+    Both must decode exactly like the per-row Python kernel."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "xyz"), (4, "")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    media = attach_payload(df)
+    fast = _rows(decode_features(media), ("doc_id",))
+    ref = _rows(decode_features(media, kernel="python"), ("doc_id",))
+    assert fast == ref
+    by_id = {r[0]: r[-1] for r in fast}
+    assert by_id[2] == [0.0, 0.0, 0.0, 0.0]
+    assert by_id[4] == [0.0, 0.0, 0.0, 0.0]
+    assert by_id[1] == [float(ord("a")), float(ord("b"))] * 2
+
+
 def _rows(df, key):
     return sorted((tuple(r) for r in df.collect()), key=lambda t: t[: len(key)])
 

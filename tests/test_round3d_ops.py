@@ -495,6 +495,33 @@ def test_compact_dir_reduces_files_preserves_rows(spark, tmp_path):
     assert compacted.columns == ["id", "k"]
 
 
+def test_compact_dir_rejects_remote_and_leftovers(spark, tmp_path):
+    """r3 ADVICE: compact_dir is local-FS-only (os.walk sizing + POSIX
+    renames) and must fail loudly on remote schemes and on crash
+    leftovers instead of miscounting or dying mid-swap."""
+    import os
+
+    import pytest as _pytest
+
+    from log_formatter_spark.sinks.writer import compact_dir
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        compact_dir(spark, "s3a://bucket/table")
+    with _pytest.raises(ValueError, match="not a local directory"):
+        compact_dir(spark, str(tmp_path / "missing"))
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 100).write.parquet(src)
+    os.mkdir(src + "._compact_old")
+    with _pytest.raises(ValueError, match="leftover"):
+        compact_dir(spark, src)
+    os.rmdir(src + "._compact_old")
+
+    # a file:// URI of a real local dir still works
+    n = compact_dir(spark, "file://" + src)
+    assert n >= 1 and spark.read.parquet(src).count() == 100
+
+
 def test_interval_and_neardup_empty_inputs(spark, docs, emb):
     from log_formatter_spark.operators.asof import attribution_window
     from log_formatter_spark.operators.dedup import incremental_neardup

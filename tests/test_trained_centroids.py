@@ -103,3 +103,39 @@ def test_matrix_kernel_matches_literal_assignment(spark, emb, monkeypatch):
     a = sorted(tuple(r) for r in via_matrix.collect())
     b = sorted(tuple(r) for r in via_literal.collect())
     assert [(x[0], x[1], x[2]) for x in a] == [(x[0], x[1], x[2]) for x in b]
+
+
+def test_anchor_memo_sees_path_overwrite(spark, tmp_path):
+    """r3 ADVICE: the memo must not serve stale anchors after the same
+    parquet path is overwritten mid-session (the DuckDB oracle would
+    recompute from the new bytes and the hash gate would mismatch).
+    The memo key's file fingerprint (mtime_ns + size) makes the second
+    read miss; clear_anchor_memo() is the belt-and-braces reset."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from log_formatter_spark.functions.vectors import with_unit
+
+    path = str(tmp_path / "emb_overwrite")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i + 1).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    base.write.mode("overwrite").parquet(path)
+    u1 = with_unit(spark.read.parquet(path), "vec_id", "embedding")
+    a1 = similarity.anchor_units(u1, 4, id_col="vec_id")
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
+    base.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+    u2 = with_unit(spark.read.parquet(path), "vec_id", "embedding")
+    a2 = similarity.anchor_units(u2, 4, id_col="vec_id")
+    assert a2 != a1, "overwritten path must refresh the anchor memo"
+    assert a2 == [(p, [-x for x in v]) for p, v in a1]
+
+    similarity.clear_anchor_memo()
+    assert similarity.anchor_units(u2, 4, id_col="vec_id") == a2
