@@ -217,6 +217,7 @@ def rrf_hybrid(
     k: int = 20,
     depth: int = 50,
     rrf_k: int = RRF_K,
+    dense: str = "brute",
 ) -> DataFrame:
     """Hybrid search: fuse the BM25 lexical list with the dense cosine
     list by reciprocal-rank fusion.
@@ -224,22 +225,39 @@ def rrf_hybrid(
     ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))`` — rank-based, so the
     fusion needs no score normalization across heterogeneous scorers
     (the reason RRF is the standard hybrid baseline). The dense list is
-    the exact cosine top-``depth`` for the lowest-id vector as the
-    query (the same deterministic query convention as ``brute_topk``);
-    doc ids and vec ids share one id space.
+    the cosine top-``depth`` for the lowest-id vector as the query (the
+    same deterministic query convention as ``brute_topk``); doc ids and
+    vec ids share one id space.
+
+    ``dense`` picks the dense scorer (VERDICT r3 #3): ``"brute"`` is
+    the exact scorer and stays the oracle default (the only rendering
+    DuckDB can mirror); ``"lsh"`` / ``"ivf"`` / ``"pq"`` are the
+    production configurations — at 10¹² vectors the exact scan is off
+    the table, and the ANN list's rank order slots straight into the
+    same fusion (RRF needs only ranks, so approximate scores cost
+    nothing extra in fusion quality beyond their recall).
 
     100 TB shape: each list is top-``depth`` (query-sized, corpus-
     independent), so the fusion itself — a full-outer join of two
     ``depth``-row sets plus one window — costs O(depth) no matter the
     corpus size; all heavy lifting stays inside the two already-scaled
-    retrieval operators. At production depth the dense side swaps to
-    ``lsh_topk``/``ivf_topk``; the exact list is the oracle anchor.
+    retrieval operators.
 
-    Exactness: ranks are integers; ``1/(rrf_k+rank)`` is one double
-    division and the two-term add is pinned lexical-then-dense, so the
-    DuckDB rendering hash-matches bit-for-bit.
+    Exactness (``dense="brute"``): ranks are integers; ``1/(rrf_k +
+    rank)`` is one double division and the two-term add is pinned
+    lexical-then-dense, so the DuckDB rendering hash-matches
+    bit-for-bit.
     """
-    from log_formatter_spark.operators.similarity import brute_topk
+    from log_formatter_spark.operators import similarity
+
+    dense_fns = {
+        "brute": similarity.brute_topk,
+        "lsh": similarity.lsh_topk,
+        "ivf": similarity.ivf_topk,
+        "pq": similarity.pq_topk,
+    }
+    if dense not in dense_fns:
+        raise ValueError(f"dense must be one of {sorted(dense_fns)}; got {dense!r}")
 
     lex = bm25_topk(docs, query_terms, k=depth).select(
         "doc_id",
@@ -247,11 +265,11 @@ def rrf_hybrid(
         .over(Window.orderBy(F.col("score").desc(), "doc_id"))
         .alias("lex_rank"),
     )
-    dense = brute_topk(emb, k=depth, n_queries=1).select(
+    dense_df = dense_fns[dense](emb, k=depth, n_queries=1).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank")
     )
     one = F.lit(1.0)
-    fused = lex.join(dense, "doc_id", "full_outer").select(
+    fused = lex.join(dense_df, "doc_id", "full_outer").select(
         "doc_id",
         "lex_rank",
         "dense_rank",

@@ -146,3 +146,43 @@ def test_bm25_empty_input(spark, sf_dir):
     out = bm25_topk(empty)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_terms", "score"]
+
+
+def test_rrf_dense_knob(spark, sf_dir):
+    """VERDICT r3 #3: the dense side must be swappable to the ANN
+    scorers for production depth. The ANN-fused lists must (a) run
+    without the exact all-pairs scan in the plan, (b) keep the fusion
+    arithmetic identical (any doc ranked by BOTH configs at the same
+    ranks gets the same rrf score), and (c) overlap substantially with
+    the exact fusion at contract scale."""
+    from log_formatter_spark.operators.retrieval import rrf_hybrid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    exact = rrf_hybrid(docs, emb, k=20, depth=50).collect()
+    exact_ids = [r["doc_id"] for r in exact]
+    exact_rrf = {(r["lex_rank"], r["dense_rank"]): r["rrf"] for r in exact}
+
+    with pytest.raises(ValueError, match="dense must be one of"):
+        rrf_hybrid(docs, emb, dense="hnsw")
+
+    for dense in ("lsh", "ivf", "pq"):
+        fused = rrf_hybrid(docs, emb, k=20, depth=50, dense=dense)
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, dense
+        if dense != "pq":
+            # pq's ADC is BY DESIGN a broadcast-query linear scan over
+            # the m-int codes table (O(n·q), never O(n²) — the same
+            # allow-listed shape as the pq_topk catalog entry); lsh/ivf
+            # must stay pure equality joins.
+            assert "BroadcastNestedLoopJoin" not in plan, dense
+        rows = fused.collect()
+        assert 0 < len(rows) <= 20
+        got_ids = [r["doc_id"] for r in rows]
+        overlap = len(set(got_ids) & set(exact_ids)) / len(exact_ids)
+        assert overlap >= 0.5, (dense, overlap)
+        for r in rows:
+            key = (r["lex_rank"], r["dense_rank"])
+            if key in exact_rrf:
+                assert r["rrf"] == exact_rrf[key], (dense, key)
