@@ -254,41 +254,57 @@ def incremental_neardup(
     (this module's signatures are deterministic, so appending a batch's
     bands never invalidates history), bucketed on the join keys — so an
     ingest pays bands(batch) ⋈ band_index (batch-sized probe of a
-    bucketed table) + signature lookups for the candidates only. Within
-    one call the corpus side derives from ``corpus`` and Spark's
-    exchange reuse serves the two signature consumers from one shuffle,
-    same as ``minhash_pairs``. Candidate work is Σ bucket_a×bucket_b per
-    (band, bh) — never |batch|×|corpus|.
+    bucketed table) + signature lookups for the candidates only.
+    Candidate work is Σ bucket_a×bucket_b per (band, bh) — never
+    |batch|×|corpus|.
+
+    VERIFY-INLINE (r3 VERDICT #4 — the BENCH.md §13 lesson applied):
+    the signatures RIDE the band probe, so ``est_jaccard`` is computed
+    on the raw band-collision stream and the estimate filter runs
+    BEFORE the pair dedup. The earlier shape distinct()-materialized
+    the raw candidate set and joined the two signature tables back —
+    two extra exchanges, and a hot boilerplate bucket in the corpus
+    index inflated the distinct's input with pairs the filter was about
+    to drop. Riding the 16 ``mh`` longs through the band explode widens
+    that shuffle by ~128 B/row, the same trade measured on
+    ``embedding_dup_pairs_lsh`` (100×: 253 s → 74 s); the dedup is now
+    over FILTERED (batch_doc, corpus_doc, est) rows only.
     """
     sig_b = minhash_signatures(batch, n=n, text_col=text_col, id_col=id_col)
     sig_c = minhash_signatures(corpus, n=n, text_col=text_col, id_col=id_col)
-    cand = (
-        _bands_df(sig_b, id_col)
-        .withColumnRenamed(id_col, "batch_doc")
-        .join(_bands_df(sig_c, id_col).withColumnRenamed(id_col, "corpus_doc"),
-              on=["band", "bh"])
-        .select("batch_doc", "corpus_doc")
-        .distinct()
-    )
-    sa = sig_b.select(
-        F.col(id_col).alias("batch_doc"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
-    )
-    sb = sig_c.select(
-        F.col(id_col).alias("corpus_doc"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
-    )
+
+    def _bands_with_sig(sig: DataFrame, out_id: str, pfx: str) -> DataFrame:
+        # band hashes are computed from the mh columns BEFORE the rename
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            *[F.col(f"mh{i}").alias(f"{pfx}{i}") for i in range(N_PERM)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), c.alias("bh"))
+                        for b, c in enumerate(_band_hash_cols())
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            out_id,
+            *[f"{pfx}{i}" for i in range(N_PERM)],
+            F.col("bb.band").alias("band"),
+            F.col("bb.bh").alias("bh"),
+        )
+
     eq = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
     )
-    out = (
-        cand.join(sa, "batch_doc")
-        .join(sb, "corpus_doc")
+    return (
+        _bands_with_sig(sig_b, "batch_doc", "a")
+        .join(_bands_with_sig(sig_c, "corpus_doc", "b"), on=["band", "bh"])
         .select(
             "batch_doc", "corpus_doc", (eq / F.lit(float(N_PERM))).alias("est_jaccard")
         )
+        .where(F.col("est_jaccard") >= min_est)
+        .distinct()
     )
-    return out.where(F.col("est_jaccard") >= min_est)
 
 
 def incremental_neardup_sql(
