@@ -69,6 +69,7 @@ HEADLINE = [
     "incremental_dedup",
     "incremental_neardup",
     "classifier_margin",
+    "classifier_margin_trained",
     "mixture_epochs",
     "pq_topk",
     "pq_topk_trained",
@@ -140,6 +141,17 @@ def _hybrid_rrf_ivf(spark, sf_dir):
     return retrieval.rrf_hybrid(docs, emb, k=20, depth=50, dense="ivf")
 
 
+def _classifier_trained(spark, sf_dir):
+    # production classifier configuration (r3 VERDICT #5): in-engine
+    # trained weights (memoized — train-once/score-many) feeding the
+    # same zero-exchange margin fold
+    from log_formatter_spark.functions import classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = classifier.train_hashed_logreg(docs, n_iter=8)
+    return classifier.hashed_margin(docs, weights=w)
+
+
 def _pq_k16_kernel(spark, sf_dir):
     # large-codebook configuration: k=16 per block (k*m = 64 >
     # _PQ_EXPR_MAX_KM), so encode + query dtables run the Arrow matrix
@@ -157,6 +169,7 @@ BENCH_OVERRIDES = {
     "pq_topk_trained": _pq_trained,
     "pq_topk_k16": _pq_k16_kernel,
     "hybrid_rrf_ivf": _hybrid_rrf_ivf,
+    "classifier_margin_trained": _classifier_trained,
 }
 
 

@@ -856,6 +856,8 @@ _GATE_ORDER = [
     "streaming_incremental_dedup",
     "streaming_attribution",
     "streaming_conv_keys",
+    # --- new in round 4 (driver row this round; r5 = confirmation) ----
+    "classifier_train_step",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -876,8 +878,8 @@ _GATE_ORDER = [
     "dedup_simhash",
     "pipeline_counts",
     "dedup_simhash_pairs",
+    # --- tail: graded green in r03 (49) + bumped block-2 entries ------
     "lang_id_ngram",
-    # --- tail: graded green in r03 (49), cost-ascending ---------------
     "dataset_split",
     "multimodal_meta",
     "token_count",
@@ -1061,6 +1063,10 @@ def _catalog() -> dict[str, QueryFn]:
         "repetition_score": lambda s, d: sh.repetition_score(_docs(s, d), n=3),
         # hashed linear quality classifier (fastText-shaped inference)
         "classifier_margin": lambda s, d: classifier.hashed_margin(_docs(s, d)),
+        # one in-engine training step (full-batch hashed logistic
+        # regression, rational link + fixed-point gradient — r3 VERDICT
+        # #5); the multi-step trainer is test-gated vs pure Python
+        "classifier_train_step": lambda s, d: classifier.train_step(_docs(s, d)),
         # training-mixture assembly (integer per-source epochs)
         "mixture_epochs": lambda s, d: corpus.mixture_epochs(_docs(s, d)),
         # dedup
@@ -1263,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "classifier_margin": classifier.hashed_margin_sql(),
+        "classifier_train_step": classifier.train_step_sql(),
         "mixture_epochs": corpus.mixture_epochs_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(

@@ -45,8 +45,26 @@ def _weight(tok: Column) -> Column:
     return h % F.lit(_W_SPAN) - F.lit(_W_SHIFT)
 
 
+def _fold_margin(toks: Column, weights: list[float] | None) -> Column:
+    """Zero-exchange margin fold over the token array: stand-in integer
+    weights (long accumulator, the oracle path) or a trained
+    ``list[float]`` embedded as one array literal (double accumulator —
+    the ``element_at`` lookup stays codegen)."""
+    if weights is None:
+        return F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _weight(t))
+    w_lit = F.lit([float(w) for w in weights])
+    return F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w_lit, (_bucket(t) + 1).cast("int")),
+    )
+
+
 def hashed_margin(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, margin, mean_margin, pred): linear margin of
     the hashed bag-of-words model, with multiplicity (a token scores
@@ -54,16 +72,17 @@ def hashed_margin(
     dim=1). ``mean_margin`` is one IEEE division (length-normalized
     score, fastText's default); ``pred`` thresholds the margin at 0.
 
+    ``weights``: None keeps the deterministic stand-in model (integer
+    margin — the driver-oracle path); a ``list[float]`` of
+    ``N_BUCKETS`` weights — e.g. from :func:`train_hashed_logreg` —
+    swaps in the trained model (double margin, same plan shape).
+
     Map-only: the fold runs inside the projection, so scoring 10^12
     docs is a scan — no shuffle, no join, no Python. NULL text scores
     as empty (coalesce) — Spark's legacy size(NULL) = -1 would
     otherwise diverge from DuckDB's len(NULL) = NULL."""
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    margin = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + _weight(t),
-    )
+    margin = _fold_margin(toks, weights)
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -103,3 +122,191 @@ FROM (
   FROM {src}
 )
 """
+
+
+# --- in-engine training (r3 VERDICT #5) ------------------------------------
+#
+# Full-batch logistic-regression gradient descent over the same hashed
+# bag-of-words features, expressed so that every step is (a) one
+# corpus SCAN + one 256-row aggregate — the distributed-training shape
+# that works at 10^12 docs — and (b) bit-reproducible across engines:
+#
+# - the link is the RATIONAL "fast sigmoid" p = 0.5 + 0.5·m/(1+|m|)
+#   instead of exp: composed of + * / abs only, it is IEEE-exact and
+#   identical in Spark, DuckDB and Python (exp differs in the last ulp
+#   across libms, which breaks hash gates). fastText itself evaluates
+#   its sigmoid from a 512-entry precomputed table, so an approximated
+#   link is faithful to the reference implementation; the loss stays
+#   convex-shaped and sign-correct.
+# - per-document residuals are quantized to FIXED POINT,
+#   floor((y − p)·2^32) as int64, so the per-bucket gradient is an
+#   integer sum — order-free, map-side combinable, and immune to float
+#   reduction-order nondeterminism. |rfx| ≤ 2^32, so the int64 sum is
+#   exact up to 2^31 token occurrences per bucket per step; beyond
+#   that, lower fx scaling (the doc_lm_score trick at 2^40 has the
+#   same ceiling analysis).
+# - the default lr = 0.5 is a power of two: the driver-side weight
+#   update w + lr·((grad/2^32)/n_docs) then carries exactly ONE
+#   rounding (the /n_docs), identical everywhere.
+
+FX_SCALE = 4294967296.0  # 2^32, exact in binary64
+DEFAULT_LR = 0.5
+
+
+def _label_col(label) -> Column:
+    # default task: language ID (en vs rest) — the fastText/CCNet
+    # curation classifier's actual job — from the documents table
+    if label is None:
+        return F.col("lang") == F.lit("en")
+    return label
+
+
+def train_step(
+    docs: DataFrame,
+    weights: list[float] | None = None,
+    lr: float = DEFAULT_LR,
+    label: Column | None = None,
+    n_docs: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One full-batch gradient step: (bucket, n_hits, grad_fx, w_next)
+    for every feature bucket that occurs in the corpus.
+
+    ``weights=None`` starts from the stand-in integer model (the
+    configuration the driver oracle pins — see
+    ``classifier_train_step`` in the contract catalog); a
+    ``list[float]`` continues from trained weights. ``n_hits`` is the
+    bucket's token-occurrence count, ``grad_fx`` the fixed-point
+    residual sum Σ floor((y−p)·2^32) over those occurrences, and
+    ``w_next = w + lr·((grad_fx/2^32)/n_docs)`` the updated weight.
+
+    Plan: margin + residual are a map-only projection (the fold runs
+    inside the scan); the only exchange is the 256-key groupBy, whose
+    partials combine map-side — per-step cost is one corpus scan
+    regardless of corpus size. Buckets absent from the corpus carry a
+    zero gradient and are simply not emitted."""
+    if n_docs is None:
+        n_docs = docs.count()
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    m = _fold_margin(toks, weights).cast("double")
+    q = m / (F.lit(1.0) + F.abs(m))
+    p = F.lit(0.5) + F.lit(0.5) * q
+    y = F.when(_label_col(label), F.lit(1.0)).otherwise(F.lit(0.0))
+    rfx = F.floor((y - p) * F.lit(FX_SCALE)).cast("long")
+
+    # rfx must be projected BELOW the explode: select(rfx, explode(toks))
+    # puts rfx in the Project ABOVE Generate, re-evaluating the whole
+    # O(n_tokens) margin fold once PER TOKEN ROW (quadratic per doc —
+    # measured 3.5 s vs 0.25 s on 500 docs). Two selects pin it to one
+    # evaluation per document, carried through Generate as a column.
+    per_doc = docs.select(rfx.alias("rfx"), toks.alias("toks"))
+    per_tok = per_doc.select("rfx", F.explode("toks").alias("tok"))
+    grads = per_tok.groupBy(
+        _bucket(F.col("tok")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("rfx").alias("grad_fx"),
+    )
+    if weights is None:
+        h = md5_60(F.concat(F.lit("w:"), F.col("bucket").cast("string")))
+        w0 = (h % F.lit(_W_SPAN) - F.lit(_W_SHIFT)).cast("double")
+    else:
+        w_lit = F.lit([float(w) for w in weights])
+        w0 = F.element_at(w_lit, (F.col("bucket") + 1).cast("int"))
+    w_next = w0 + F.lit(lr) * (
+        (F.col("grad_fx").cast("double") / F.lit(FX_SCALE))
+        / F.lit(float(n_docs))
+    )
+    return grads.select("bucket", "n_hits", "grad_fx", w_next.alias("w_next"))
+
+
+def train_step_sql(
+    src: str = "documents",
+    lr: float = DEFAULT_LR,
+    label_sql: str = "lang = 'en'",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of the stand-in-initialized step — same fold,
+    same rational link, same fixed-point floor, same pinned float-op
+    order. ``sum(rfx)`` must be cast back to BIGINT (DuckDB group sums
+    of BIGINT widen to HUGEINT; Spark stays int64)."""
+    toks = TOKENS_SQL.format(x=f"COALESCE({text_col}, '')")
+    bucket_t = f"({MD5_60_SQL.format(x='t')} % {N_BUCKETS})"
+    weight_t = (
+        MD5_60_SQL.format(x=f"'w:' || CAST({bucket_t} AS VARCHAR)")
+        + f" % {_W_SPAN} - {_W_SHIFT}"
+    )
+    w0 = (
+        MD5_60_SQL.format(x="'w:' || CAST(bucket AS VARCHAR)")
+        + f" % {_W_SPAN} - {_W_SHIFT}"
+    )
+    return f"""
+WITH scored AS (
+  SELECT {toks} AS toks,
+         CASE WHEN {label_sql} THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform({toks}, t -> {weight_t})), (a, b) -> a + b) AS DOUBLE) AS m
+  FROM {src}
+),
+resid AS (
+  SELECT toks,
+         CAST(floor((y - (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (m / (CAST(1 AS DOUBLE) + abs(m)))))
+              * {FX_SCALE!r}) AS BIGINT) AS rfx
+  FROM scored
+),
+tok AS (
+  SELECT CAST({bucket_t} AS INTEGER) AS bucket, rfx
+  FROM resid, unnest(toks) AS u(t)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(rfx) AS BIGINT) AS grad_fx,
+       CAST({w0} AS DOUBLE)
+         + {lr!r} * ((CAST(CAST(sum(rfx) AS BIGINT) AS DOUBLE) / {FX_SCALE!r})
+                     / CAST((SELECT count(*) FROM {src}) AS DOUBLE)) AS w_next
+FROM tok
+GROUP BY bucket
+"""
+
+
+def train_hashed_logreg(
+    docs: DataFrame,
+    n_iter: int = 8,
+    lr: float = DEFAULT_LR,
+    label: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[float]:
+    """Train the hashed logistic model in-engine: ``n_iter`` full-batch
+    gradient steps from zero init, each one corpus scan + one 256-row
+    aggregate collected to the driver (the anchors/BPE pattern — the
+    collect is bucket-count-sized, never corpus-sized). Returns the
+    ``N_BUCKETS`` weights for ``hashed_margin(docs, weights=...)``.
+
+    Deterministic end-to-end: the per-step gradient is an exact integer
+    sum (partitioning-independent) and the driver-side update is plain
+    Python float arithmetic — pinned against a pure-Python replica in
+    tests/test_classifier_train.py. Memoized like the LSH anchors /
+    k-means centroids (training is a pure function of input + knobs)."""
+    from log_formatter_spark.operators.similarity import _ANCHOR_MEMO, _memo_key
+
+    memo_key = _memo_key(docs, "logreg", n_iter, lr, id_col, text_col,
+                         label is None)
+    if memo_key is not None and memo_key in _ANCHOR_MEMO:
+        return list(_ANCHOR_MEMO[memo_key])
+
+    n = docs.count()
+    w = [0.0] * N_BUCKETS
+    for _ in range(n_iter):
+        rows = train_step(
+            docs, weights=w, lr=lr, label=label, n_docs=n,
+            id_col=id_col, text_col=text_col,
+        ).collect()
+        for r in rows:
+            w[r["bucket"]] = r["w_next"]
+    if memo_key is not None:
+        if len(_ANCHOR_MEMO) > 64:
+            _ANCHOR_MEMO.clear()
+        _ANCHOR_MEMO[memo_key] = list(w)
+    return w
