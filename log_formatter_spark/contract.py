@@ -128,6 +128,47 @@ routed AS (SELECT *, {ROUTE_SQL} AS route FROM enriched)
 """
 
 
+# Exact-substring dedup fixture (the pii_redact/incremental_dedup
+# pattern: the synthetic corpus has no organic repeated passages, so the
+# query engineers them identically in both engines): every 9th doc
+# appends a doc_id-keyed truncation of a fixed 21-token disclaimer
+# (12 + 3*(doc_id%4) tokens), so pairs from different length groups
+# share the common PREFIX run — exercising maximal-run extraction.
+_SPAN_DISCLAIMER = (
+    "this content is provided as is without warranty of any kind either "
+    "express or implied including fitness for a particular purpose"
+).split()
+
+
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    disc = F.array(*[F.lit(w) for w in _SPAN_DISCLAIMER])
+    k = F.lit(12) + (F.col("doc_id") % 4).cast("int") * F.lit(3)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "), F.array_join(F.slice(disc, F.lit(1), k), " ")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SPAN_DISC_SQL = "[" + ", ".join(f"'{w}'" for w in _SPAN_DISCLAIMER) + "]"
+_SPAN_DOCS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0
+            THEN text || ' ' || array_to_string(
+                   list_slice({_SPAN_DISC_SQL}, 1,
+                              12 + CAST(doc_id % 4 AS INTEGER) * 3), ' ')
+            ELSE text END AS text
+FROM documents
+"""
+
+
 def _pipeline_counts(engine: str) -> QueryFn:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = transcripts_from_events(spark, sf_dir)
@@ -858,6 +899,7 @@ _GATE_ORDER = [
     "streaming_conv_keys",
     # --- new in round 4 (driver row this round; r5 = confirmation) ----
     "classifier_train_step",
+    "exact_substring_spans",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -877,8 +919,8 @@ _GATE_ORDER = [
     "pipeline_counts_jvm",
     "dedup_simhash",
     "pipeline_counts",
-    "dedup_simhash_pairs",
     # --- tail: graded green in r03 (49) + bumped block-2 entries ------
+    "dedup_simhash_pairs",
     "lang_id_ngram",
     "dataset_split",
     "multimodal_meta",
@@ -1060,6 +1102,11 @@ def _catalog() -> dict[str, QueryFn]:
         "doc_fingerprint": lambda s, d: sh.fingerprint(_docs(s, d), n=5),
         "doc_winnow": lambda s, d: sh.winnow(_docs(s, d), n=3, w=4),
         "winnow_pairs": lambda s, d: sh.winnow_pairs(_docs(s, d), n=3, w=4, min_shared=2),
+        # exact repeated spans >= 12 tokens (Lee et al. 2022 regime) over
+        # the engineered-disclaimer fixture
+        "exact_substring_spans": lambda s, d: sh.exact_spans(
+            _span_docs(s, d), min_tokens=12, seed=8
+        ),
         "repetition_score": lambda s, d: sh.repetition_score(_docs(s, d), n=3),
         # hashed linear quality classifier (fastText-shaped inference)
         "classifier_margin": lambda s, d: classifier.hashed_margin(_docs(s, d)),
@@ -1259,6 +1306,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": sh.fingerprint_sql(n=5),
         "doc_winnow": sh.winnow_sql(n=3, w=4),
         "winnow_pairs": sh.winnow_pairs_sql(n=3, w=4, min_shared=2),
+        "exact_substring_spans": sh.exact_spans_sql(
+            src="span_docs", min_tokens=12, seed=8,
+            extra_ctes=f"span_docs AS ({_SPAN_DOCS_SQL}),",
+        ),
         "repetition_score": sh.repetition_score_sql(n=3),
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
