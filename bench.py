@@ -80,6 +80,7 @@ HEADLINE = [
     "quality_deciles",
     # round 4: exact-substring spans, trained classifier, ANN-dense hybrid
     "exact_substring_spans",
+    "span_dup_fraction",
 ]
 
 
@@ -156,6 +157,14 @@ def _exact_spans_raw(spark, sf_dir):
     return shingles.exact_spans(docs, min_tokens=12, seed=8)
 
 
+def _span_dup_raw(spark, sf_dir):
+    # raw corpus, same rationale as _exact_spans_raw
+    from log_formatter_spark.functions import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shingles.span_dup_stats(docs, min_tokens=12, seed=8)
+
+
 def _classifier_trained(spark, sf_dir):
     # production classifier configuration (r3 VERDICT #5): in-engine
     # trained weights (memoized — train-once/score-many) feeding the
@@ -186,6 +195,7 @@ BENCH_OVERRIDES = {
     "hybrid_rrf_ivf": _hybrid_rrf_ivf,
     "classifier_margin_trained": _classifier_trained,
     "exact_substring_spans": _exact_spans_raw,
+    "span_dup_fraction": _span_dup_raw,
 }
 
 

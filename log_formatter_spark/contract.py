@@ -900,6 +900,7 @@ _GATE_ORDER = [
     # --- new in round 4 (driver row this round; r5 = confirmation) ----
     "classifier_train_step",
     "exact_substring_spans",
+    "span_dup_fraction",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -918,8 +919,8 @@ _GATE_ORDER = [
     "dedup_embedding",
     "pipeline_counts_jvm",
     "dedup_simhash",
-    "pipeline_counts",
     # --- tail: graded green in r03 (49) + bumped block-2 entries ------
+    "pipeline_counts",
     "dedup_simhash_pairs",
     "lang_id_ngram",
     "dataset_split",
@@ -1105,6 +1106,11 @@ def _catalog() -> dict[str, QueryFn]:
         # exact repeated spans >= 12 tokens (Lee et al. 2022 regime) over
         # the engineered-disclaimer fixture
         "exact_substring_spans": lambda s, d: sh.exact_spans(
+            _span_docs(s, d), min_tokens=12, seed=8
+        ),
+        # the actionable form: per-doc duplicated-token mass (interval-
+        # merged span coverage / token count — the Lee et al. drop metric)
+        "span_dup_fraction": lambda s, d: sh.span_dup_stats(
             _span_docs(s, d), min_tokens=12, seed=8
         ),
         "repetition_score": lambda s, d: sh.repetition_score(_docs(s, d), n=3),
@@ -1307,6 +1313,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": sh.winnow_sql(n=3, w=4),
         "winnow_pairs": sh.winnow_pairs_sql(n=3, w=4, min_shared=2),
         "exact_substring_spans": sh.exact_spans_sql(
+            src="span_docs", min_tokens=12, seed=8,
+            extra_ctes=f"span_docs AS ({_SPAN_DOCS_SQL}),",
+        ),
+        "span_dup_fraction": sh.span_dup_stats_sql(
             src="span_docs", min_tokens=12, seed=8,
             extra_ctes=f"span_docs AS ({_SPAN_DOCS_SQL}),",
         ),

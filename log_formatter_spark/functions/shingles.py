@@ -383,3 +383,143 @@ FROM runs
 GROUP BY doc_a, doc_b, diag, grp
 HAVING count(*) + {seed - 1} >= {min_tokens}
 """
+
+
+def span_dup_stats(
+    df: DataFrame,
+    min_tokens: int = 12,
+    seed: int = 8,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token mass from :func:`exact_spans` — the
+    actionable form of exact-substring dedup (Lee et al. 2022 drop docs
+    / cut spans by exactly this measure): (doc_id, n_tokens, dup_tokens,
+    dup_fraction) where ``dup_tokens`` counts tokens covered by at least
+    one cross-doc repeated span ≥ ``min_tokens``.
+
+    A token can sit under MANY spans (every partner doc yields one), so
+    the per-doc span set is interval-MERGED before counting — a second
+    gaps-and-islands: sort a doc's [start, end] intervals by start, a
+    new island begins where start exceeds the running max end of all
+    earlier intervals (one window max), then islands reduce to
+    ``end − start + 1`` token counts. All integer ops + one final IEEE
+    division → hash-exact oracle.
+
+    Plan: exact_spans' two exchanges, then the per-doc interval table
+    (spans are sparse — ≪ corpus tokens) shuffles once on doc_id for
+    the merge window, and the doc spine joins back only to stamp zeros
+    on span-free docs. Every doc appears exactly once.
+    """
+    spans = exact_spans(
+        df, min_tokens=min_tokens, seed=seed, max_df=max_df,
+        text_col=text_col, id_col=id_col,
+    )
+    ivals = spans.select(
+        F.col("doc_a").alias(id_col),
+        F.col("a_start").alias("s"),
+        (F.col("a_start") + F.col("span_tokens") - 1).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("span_tokens") - 1).alias("e"),
+        )
+    ).distinct()
+    # distinct makes (s, e) UNIQUE per doc, so the merge windows' order
+    # is total: with duplicate intervals (one span shared with many
+    # partner docs), ROWS-framed ties are ordered arbitrarily and
+    # INDEPENDENTLY in the flag pass and the cumulative-sum pass — the
+    # island ids came out nondeterministic (caught as a DuckDB-vs-Spark
+    # 12-vs-24 divergence). Duplicates carry no merge information.
+    order = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = ivals.select(
+        id_col, "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # ROWS frame, not Spark's default RANGE: duplicate (s, e) intervals
+    # (one span shared with several partner docs) are frame PEERS under
+    # RANGE, which would diverge from the oracle's ROWS cumulative sum
+    islands = marked.select(
+        id_col, "s", "e",
+        F.sum("new_island")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    per_doc = (
+        islands.groupBy(id_col, "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("ilen"))
+        .groupBy(id_col)
+        .agg(F.sum("ilen").alias("dup_tokens"))
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("n_tokens"),
+    )
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("dup_fraction"),
+    )
+
+
+def span_dup_stats_sql(
+    src: str = "documents",
+    min_tokens: int = 12,
+    seed: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_ctes: str = "",
+) -> str:
+    toks = TOKENS_SQL.format(x=f"COALESCE({text_col}, '')")
+    return f"""
+WITH {extra_ctes} spans AS ({exact_spans_sql(src, min_tokens=min_tokens, seed=seed,
+                                             text_col=text_col, id_col=id_col)}),
+ivals AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_a AS {id_col}, a_start AS s,
+           a_start + CAST(span_tokens AS INTEGER) - 1 AS e FROM spans
+    UNION ALL
+    SELECT doc_b, b_start, b_start + CAST(span_tokens AS INTEGER) - 1 FROM spans
+  )
+),
+marked AS (
+  SELECT {id_col}, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR s > max(e) OVER (PARTITION BY {id_col} ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ivals
+),
+islands AS (
+  SELECT {id_col}, s, e,
+         CAST(sum(new_island) OVER (PARTITION BY {id_col} ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM marked
+),
+per_doc AS (
+  SELECT {id_col}, CAST(sum(ilen) AS BIGINT) AS dup_tokens FROM (
+    SELECT {id_col}, island, max(e) - min(s) + 1 AS ilen
+    FROM islands GROUP BY {id_col}, island
+  ) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(len({toks}) AS INTEGER) AS n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len({toks}) > 0
+            THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / CAST(CAST(len({toks}) AS INTEGER) AS DOUBLE) END AS dup_fraction
+FROM {src} d LEFT JOIN per_doc p ON d.{id_col} = p.{id_col}
+"""

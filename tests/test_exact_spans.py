@@ -85,3 +85,43 @@ def test_empty_and_short_inputs(spark):
     out = exact_spans(df.where("text IS NOT NULL"), min_tokens=12, seed=8)
     assert out.count() == 0
     assert out.columns == ["doc_a", "doc_b", "a_start", "b_start", "span_tokens"]
+
+
+def test_span_dup_stats_overlap_merge(spark):
+    """Overlapping spans from different partners must merge before
+    counting: doc1 shares tokens 1-14 with doc2 and 8-22 with doc3 →
+    dup_tokens = 22 (the union), not 29 (the sum)."""
+    from log_formatter_spark.functions.shingles import span_dup_stats
+
+    def w(p, n, start=0):
+        return " ".join(f"{p}{i}" for i in range(start, start + n))
+
+    docs = [
+        (1, w("s", 22)),
+        (2, w("x", 4) + " " + w("s", 14)),
+        (3, w("s", 15, start=7) + " " + w("y", 5)),
+        (4, w("z", 30)),  # no shared spans
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in span_dup_stats(df, min_tokens=12, seed=8).collect()
+    }
+    assert out[1] == (22, 22, 1.0)
+    assert out[2] == (18, 14, 14.0 / 18.0)
+    assert out[3] == (20, 15, 0.75)
+    assert out[4] == (30, 0, 0.0)
+
+
+def test_span_dup_stats_duplicate_intervals_deterministic(spark):
+    """Regression: one span shared with MANY partners yields duplicate
+    (s, e) intervals; tied rows were ordered independently in the flag
+    and cumulative-sum windows, splitting one island in two (DuckDB read
+    24 where Spark read 12). Distinct-before-merge makes the order total."""
+    from log_formatter_spark.functions.shingles import span_dup_stats
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = [(i, f"u{i}a u{i}b {shared}") for i in range(1, 31)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = span_dup_stats(df.repartition(7), min_tokens=12, seed=8).collect()
+    assert all(r["dup_tokens"] == 12 for r in out), [tuple(r) for r in out[:3]]
