@@ -81,6 +81,8 @@ HEADLINE = [
     # round 4: exact-substring spans, trained classifier, ANN-dense hybrid
     "exact_substring_spans",
     "span_dup_fraction",
+    "semdedup",
+    "semdedup_prod",
 ]
 
 
@@ -186,8 +188,26 @@ def _pq_k16_kernel(spark, sf_dir):
     return similarity.pq_topk(emb, k=10, n_centroids=16, codebooks="trained")
 
 
+def _semdedup_prod(spark, sf_dir):
+    # production SemDeDup configuration (non-oracled knobs): k-means
+    # trained centroids auto-sized to ~sqrt(n) and the per-cell gram
+    # matmul grouped verify — the config that keeps cells executor-sized
+    # and crosses each cell to Python exactly once at real occupancies
+    from log_formatter_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.semdedup(
+        emb,
+        n_clusters=None,
+        min_cos=contract.SEMDEDUP_MIN_COS,
+        centroids="trained",
+        verify="grouped",
+    )
+
+
 BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
+    "semdedup_prod": _semdedup_prod,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
     "pq_topk_trained": _pq_trained,

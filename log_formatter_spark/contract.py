@@ -80,6 +80,11 @@ NGRAM_MAX_DF = 200
 # embeddings top out at cos≈0.51 (random-ish cluster structure), so the
 # demo threshold is set where the result set is non-trivial
 EMBED_MIN_COS = 0.4
+# SemDeDup within-cluster threshold: lower than the pair-demo threshold
+# because candidate pairs are cluster-bounded (8 Voronoi cells on the
+# same weak-cosine corpus: 174/500 dup rows at sf0.001 — both branches
+# of the is_dup flag well exercised at every sf)
+SEMDEDUP_MIN_COS = 0.3
 # conversation template-prefix dedup: key on the first k turns
 # (150 convs -> 57 prefix groups at sf0.01; 15 -> 14 at sf0.001)
 CONV_DEDUP_PREFIX = 2
@@ -856,8 +861,11 @@ _STREAMING_INC_DEDUP_SQL = _streaming_inc_dedup_sql()
 # 50 of this list), so with a 100-query catalog ordering IS coverage.
 # Round-4 rotation (VERDICT r3 #1): slots 1-29 are the 29 queries that
 # have never had a driver row in any round (union coverage r01∪r02∪r03 =
-# 71/100); slots 30-49 are the 20 queries graded only in r01/r02 (minus
-# streaming_pipeline_counts, pinned last); the 49 queries freshly graded
+# 71/100); next the 4 round-4 additions (driver rows this round); the
+# remaining window slots go to queries graded only in r01/r02 (minus
+# streaming_pipeline_counts, pinned last) — entries displaced past slot
+# 50 by a round-4 addition are already union-covered, so displacement
+# costs nothing; the 49 queries freshly graded
 # green in r03 form the tail. Within each block, order stays ASCENDING
 # measured gate cost (spark+oracle at sf0.01) so a budget truncation cuts
 # the most expensive entries first. After round 4 every catalog query has
@@ -901,6 +909,7 @@ _GATE_ORDER = [
     "classifier_train_step",
     "exact_substring_spans",
     "span_dup_fraction",
+    "semdedup",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -1157,6 +1166,12 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_embedding_lsh": lambda s, d: dedup.embedding_dup_pairs_lsh(
             _emb(s, d), min_cos=EMBED_MIN_COS, n_bits=dedup.EMBED_LSH_BITS
         ),
+        # SemDeDup: Voronoi-cluster the embedding space, prune near-dups
+        # within cells only (keep-lowest-id); anchors + fold kernel = the
+        # oracled config, trained centroids / grouped verify are the knobs
+        "semdedup": lambda s, d: dedup.semdedup(
+            _emb(s, d), n_clusters=8, min_cos=SEMDEDUP_MIN_COS
+        ),
         # pairs → connected components → survivors (iterative label
         # propagation; oracle = DuckDB recursive CTE, a different algorithm)
         "dedup_clusters": lambda s, d: dedup.cluster_pairs(
@@ -1355,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
+        "semdedup": dedup.semdedup_sql(n_clusters=8, min_cos=SEMDEDUP_MIN_COS),
         "corpus_filter": corpus.corpus_filter_sql(),
         "split_contamination": corpus.split_contamination_sql(
             dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL

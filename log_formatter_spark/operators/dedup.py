@@ -1257,3 +1257,179 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos} AS cos
 FROM u a, u b
 WHERE a.{id_col} < b.{id_col} AND {cos} >= {min_cos}
 """
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int | None = 8,
+    min_cos: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str | list = "anchors",
+    verify: str = "fold",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then prune near-duplicates ONLY within
+    each cluster — the semantic-dedup regime where candidate formation
+    is a cheap Voronoi assignment instead of an LSH family.
+
+    Output is one row per document: ``(vec_id, cell, max_prior_cos,
+    is_dup)`` where ``max_prior_cos`` is the document's maximum cosine
+    to any SMALLER-id document in its cluster (sentinel -2.0 when it has
+    none) and ``is_dup = max_prior_cos >= min_cos``. Keep-lowest-id is
+    the deterministic rendering of the paper's keep-one-per-group rule:
+    every duplicate chain retains its minimum id, reruns and the DuckDB
+    oracle agree exactly, and the survivor set is ``is_dup = false``.
+
+    Plan shape at 100 TB: centroids are driver-sized literals (anchors
+    or k-means-trained — :func:`~log_formatter_spark.operators.
+    similarity.train_centroids`), so assignment is a map-only codegen'd
+    projection (Arrow matrix kernel above ``_CELL_EXPR_MAX_K`` cells,
+    plan size O(1) in k). The ONLY joins are the equality self-join on
+    ``cell`` and the final per-doc left join — never an all-pairs
+    product; per-cell work is O(|cell|²) exactly as the paper sizes it
+    (k grows ~sqrt(n) via ``auto_centroids``, keeping cells
+    executor-sized). ``verify="grouped"`` swaps the pair join for a
+    per-cell gram-matrix ``applyInPandas`` kernel (each cell's vectors
+    cross to Python once, one matmul) — the production config at real
+    cluster occupancies, same trade as the embedding-LSH grouped verify.
+    """
+    from log_formatter_spark.operators.similarity import (
+        _CELL_EXPR_MAX_K,
+        _argmax_cell,
+        _cell_kernels,
+        anchor_units,
+        auto_centroids,
+        train_centroids,
+    )
+
+    u = with_unit(emb, id_col, vec_col)
+    if n_clusters is None:
+        n_clusters = auto_centroids(emb.count())
+    if isinstance(centroids, list):
+        cents = centroids
+    elif centroids == "trained":
+        cents = train_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
+    elif centroids == "anchors":
+        cents = anchor_units(u, n_clusters, id_col=id_col)
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    if not cents:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell int, max_prior_cos double, is_dup boolean"
+        )
+    if len(cents) <= _CELL_EXPR_MAX_K:
+        assigned = u.select(
+            F.col(id_col), F.col("uv"), _argmax_cell(cents).alias("cell")
+        )
+    else:
+        assign_udf, _ = _cell_kernels(cents, 1)
+        assigned = u.select(
+            F.col(id_col), F.col("uv"), assign_udf(F.col("uv")).alias("cell")
+        )
+    if verify == "grouped":
+        best = _semdedup_grouped(assigned, id_col)
+    else:
+        from log_formatter_spark.functions.vectors import dot_kernel
+
+        kernel = dot_kernel(verify)
+        a = assigned.select(
+            F.col("cell"), F.col(id_col).alias("id_a"), F.col("uv").alias("ua")
+        )
+        b = assigned.select(
+            F.col("cell"), F.col(id_col).alias("id_b"), F.col("uv").alias("ub")
+        )
+        best = (
+            a.join(b, on="cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                F.col("id_b").alias(id_col),
+                kernel(F.col("ua"), F.col("ub")).alias("cos"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("cos").alias("max_prior_cos"))
+        )
+    prior = F.coalesce(F.col("max_prior_cos"), F.lit(-2.0))
+    return (
+        assigned.join(best, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            prior.alias("max_prior_cos"),
+            (prior >= F.lit(float(min_cos))).alias("is_dup"),
+        )
+    )
+
+
+def _semdedup_grouped(assigned: DataFrame, id_col: str) -> DataFrame:
+    """Per-cell max-cosine-to-a-smaller-id as one grouped Arrow kernel:
+    sort the cell's vectors by id, one gram matmul, then a running
+    column-max over the strict upper triangle. Each cell crosses to
+    Python once — no per-candidate vector shipping (the grouped-verify
+    trade measured in BENCH.md §13). BLAS blocking is not bit-exact vs
+    the fold kernel, so this is the non-oracled production knob."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: [], "max_prior_cos": []}).astype(
+                {id_col: "int64", "max_prior_cos": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.vstack(pdf["uv"].to_numpy())[order]
+        G = X @ X.T
+        # strict lower triangle: row j keeps G[j, i] only for i < j,
+        # i.e. cosines vs strictly SMALLER ids (ids are sorted ascending)
+        mask = np.tril(np.ones(len(ids), dtype=bool), k=-1)
+        Gm = np.where(mask, G, -np.inf)
+        m = Gm.max(axis=1)
+        keep = np.isfinite(m)
+        return pd.DataFrame({id_col: ids[keep], "max_prior_cos": m[keep]})
+
+    return assigned.groupBy("cell").applyInPandas(
+        fn, f"{id_col} long, max_prior_cos double"
+    )
+
+
+def semdedup_sql(
+    src: str = "embeddings",
+    n_clusters: int = 8,
+    min_cos: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB rendering of :func:`semdedup` (anchor centroids, fold
+    kernel) — same assignment rule (argmax dot, higher cid on ties),
+    same keep-lowest-id pruning, column-for-column."""
+    d = dot_sql("v.uv", "c.cu")
+    cos = dot_sql("a.uv", "b.uv")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cid, uv AS cu
+  FROM u ORDER BY {id_col} LIMIT {n_clusters}
+),
+dots AS (SELECT v.{id_col} AS id, v.uv, c.cid, {d} AS d FROM u v, cents c),
+assigned AS (
+  SELECT id, uv, cell FROM (
+    SELECT id, uv, cid AS cell,
+           row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+best AS (
+  SELECT b.id AS id, max({cos}) AS max_prior_cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+  GROUP BY b.id
+)
+SELECT s.id AS {id_col}, s.cell,
+       coalesce(m.max_prior_cos, CAST(-2 AS DOUBLE)) AS max_prior_cos,
+       coalesce(m.max_prior_cos, CAST(-2 AS DOUBLE)) >= CAST({min_cos!r} AS DOUBLE) AS is_dup
+FROM assigned s LEFT JOIN best m ON s.id = m.id
+"""
