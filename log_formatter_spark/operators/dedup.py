@@ -1365,8 +1365,9 @@ def semdedup(
 
 def _semdedup_grouped(assigned: DataFrame, id_col: str) -> DataFrame:
     """Per-cell max-cosine-to-a-smaller-id as one grouped Arrow kernel:
-    sort the cell's vectors by id, one gram matmul, then a running
-    column-max over the strict upper triangle. Each cell crosses to
+    sort the cell's vectors by id, one gram matmul, then a per-row max
+    over the strict lower triangle (row j sees only ids < j). Each cell
+    crosses to
     Python once — no per-candidate vector shipping (the grouped-verify
     trade measured in BENCH.md §13). BLAS blocking is not bit-exact vs
     the fold kernel, so this is the non-oracled production knob."""
