@@ -83,6 +83,8 @@ HEADLINE = [
     "span_dup_fraction",
     "semdedup",
     "semdedup_prod",
+    "source_overlap",
+    "embedding_outliers",
 ]
 
 
@@ -201,6 +203,17 @@ def _semdedup_auto(spark, sf_dir):
     return dedup.semdedup(emb, n_clusters=None, min_cos=contract.SEMDEDUP_MIN_COS)
 
 
+def _outliers_auto(spark, sf_dir):
+    # auto-sized cluster count: the CONTRACT query pins n_clusters=8
+    # (static oracle), which caps the per-cell percent_rank window at 8
+    # partitions — fine for the gate, a parallelism ceiling at 100x.
+    # k ~ sqrt(n) keeps every window partition executor-sized.
+    from log_formatter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_outliers(emb, n_clusters=None)
+
+
 def _semdedup_prod(spark, sf_dir):
     # production SemDeDup configuration (non-oracled knobs): k-means
     # trained centroids auto-sized to ~sqrt(n) and the per-cell gram
@@ -222,6 +235,7 @@ BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
     "semdedup": _semdedup_auto,
     "semdedup_prod": _semdedup_prod,
+    "embedding_outliers": _outliers_auto,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
     "pq_topk_trained": _pq_trained,

@@ -910,6 +910,8 @@ _GATE_ORDER = [
     "exact_substring_spans",
     "span_dup_fraction",
     "semdedup",
+    "source_overlap",
+    "embedding_outliers",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -1172,6 +1174,12 @@ def _catalog() -> dict[str, QueryFn]:
         "semdedup": lambda s, d: dedup.semdedup(
             _emb(s, d), n_clusters=8, min_cos=SEMDEDUP_MIN_COS
         ),
+        # cross-source containment audit over the banded MinHash pairs
+        "source_overlap": lambda s, d: corpus.source_overlap(_docs(s, d)),
+        # per-cell cosine-to-centroid percent-rank outlier flags
+        "embedding_outliers": lambda s, d: similarity.embedding_outliers(
+            _emb(s, d), n_clusters=8
+        ),
         # pairs → connected components → survivors (iterative label
         # propagation; oracle = DuckDB recursive CTE, a different algorithm)
         "dedup_clusters": lambda s, d: dedup.cluster_pairs(
@@ -1371,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
         "semdedup": dedup.semdedup_sql(n_clusters=8, min_cos=SEMDEDUP_MIN_COS),
+        "source_overlap": corpus.source_overlap_sql(),
+        "embedding_outliers": similarity.embedding_outliers_sql(n_clusters=8),
         "corpus_filter": corpus.corpus_filter_sql(),
         "split_contamination": corpus.split_contamination_sql(
             dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL

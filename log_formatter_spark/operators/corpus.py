@@ -686,3 +686,121 @@ SELECT {id_col}, n_shingles, n_boiler,
        CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS boiler_frac
 FROM agg
 """
+
+
+# --- cross-source corpus overlap audit -------------------------------------
+
+OVERLAP_MIN_EST = 0.5
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    min_est: float = OVERLAP_MIN_EST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source corpus overlap audit: for every ordered pair of
+    distinct sources (s, vs), the fraction of s's documents that have a
+    MinHash near-duplicate (est_jaccard >= min_est) in vs — the
+    containment measure a multi-source training mix is audited with
+    before sources are weighted ("how much of source B is already in
+    source A"). The reference pipeline routes per-source
+    (SURVEY.md §2.3 dynamic index fan-out); this is the corpus-level
+    question the same source labels answer at curation time.
+
+    Output: (source, vs_source, n_docs, dup_docs, containment), one row
+    per ordered source pair observed to share at least one near-dup
+    (observed-only keeps the plan free of a sources x sources product;
+    absent pairs mean containment 0 by definition in both engines).
+
+    Plan shape at 100 TB: candidate pairs come from the banded MinHash
+    equality joins (cost = sum of bucket sizes squared, never
+    |docs|^2 — `dedup.minhash_pairs`); the pair stream is symmetrized
+    with a unionAll (map-only), source labels attach via two hash joins
+    keyed on doc id, and the result aggregates to a source-pair-sized
+    table (tiny). countDistinct is exact, not a sketch, so the driver
+    hash gate can verify it.
+    """
+    from log_formatter_spark.operators.dedup import minhash_pairs
+
+    pairs = minhash_pairs(
+        docs, n=n, text_col=text_col, id_col=id_col, min_est=min_est
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("partner"))
+    )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    labeled = (
+        sym.join(
+            src.select(
+                F.col(id_col).alias("doc"), F.col(source_col).alias("source")
+            ),
+            "doc",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("partner"),
+                F.col(source_col).alias("vs_source"),
+            ),
+            "partner",
+        )
+        .where(F.col("source") != F.col("vs_source"))
+    )
+    dups = labeled.groupBy("source", "vs_source").agg(
+        F.countDistinct("doc").alias("dup_docs")
+    )
+    totals = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return dups.join(totals, "source").select(
+        "source",
+        "vs_source",
+        "n_docs",
+        "dup_docs",
+        (F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+            "containment"
+        ),
+    )
+
+
+def source_overlap_sql(
+    src: str = "documents",
+    n: int = 3,
+    min_est: float = OVERLAP_MIN_EST,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB rendering of :func:`source_overlap` — same banded MinHash
+    pair CTE, same symmetrize/label/aggregate, column-for-column."""
+    from log_formatter_spark.operators.dedup import minhash_pairs_sql
+
+    pairs = minhash_pairs_sql(src=src, n=n, id_col=id_col, min_est=min_est)
+    return f"""
+WITH pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS partner FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS partner FROM pairs
+),
+lab AS (
+  SELECT s.doc, da.{source_col} AS source, db.{source_col} AS vs_source
+  FROM sym s
+  JOIN {src} da ON s.doc = da.{id_col}
+  JOIN {src} db ON s.partner = db.{id_col}
+  WHERE da.{source_col} <> db.{source_col}
+),
+dups AS (
+  SELECT source, vs_source, count(DISTINCT doc) AS dup_docs
+  FROM lab GROUP BY source, vs_source
+),
+tot AS (
+  SELECT {source_col} AS source, count(*) AS n_docs FROM {src} GROUP BY {source_col}
+)
+SELECT d.source, d.vs_source, t.n_docs, d.dup_docs,
+       CAST(d.dup_docs AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS containment
+FROM dups d JOIN tot t ON d.source = t.source
+"""

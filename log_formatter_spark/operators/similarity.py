@@ -1227,3 +1227,129 @@ SELECT q_id, neighbor_id, rank, approx_cos FROM (
   FROM pairs
 ) WHERE rank <= {k}
 """
+
+
+# --- embedding-space outlier scoring ----------------------------------------
+
+OUTLIER_BOTTOM_FRAC = 0.1
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    n_clusters: int | None = 8,
+    bottom_frac: float = OUTLIER_BOTTOM_FRAC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str | list = "anchors",
+) -> DataFrame:
+    """Embedding-space outlier scoring: assign every vector to its
+    argmax-dot centroid cell (the semdedup/IVF assignment), score it by
+    cosine to that centroid, and flag the bottom ``bottom_frac`` of each
+    cell by percent rank — the quality gate that catches corrupt
+    embeddings, encoder failures, and off-manifold documents before
+    they pollute dedup/ANN/mixture decisions downstream (the embedding
+    twin of the text-side quality filter in ``corpus_filter``).
+
+    Output: (vec_id, cell, cos_centroid, pct, is_outlier) where ``pct``
+    is percent_rank within the cell ordered by cos_centroid ascending
+    (farthest-from-centroid first, so ``pct <= bottom_frac`` flags the
+    worst tail). percent_rank = (rank-1)/(n-1) computes the same
+    integer-ratio doubles in Spark and DuckDB, so the flag hashes
+    exactly.
+
+    Plan shape at 100 TB: centroids are driver-sized literals, so the
+    (cell, cos) pair is ONE map-only struct-argmax projection per row —
+    zero joins; the only exchange is the per-cell window, and cells are
+    executor-sized at k ~ sqrt(n) (``auto_centroids``). At 10^12
+    vectors the honest swap for the exact per-cell percent_rank is an
+    approximate per-cell quantile threshold (percentile_approx, the
+    same swap quality_deciles documents for its exact ranks).
+    """
+    u = with_unit(emb, id_col, vec_col)
+    if n_clusters is None:
+        n_clusters = auto_centroids(emb.count())
+    if isinstance(centroids, list):
+        cents = centroids
+    elif centroids == "trained":
+        cents = train_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
+    elif centroids == "anchors":
+        cents = anchor_units(u, n_clusters, id_col=id_col)
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    if not cents:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, cell int, cos_centroid double, pct double, "
+            "is_outlier boolean",
+        )
+    if len(cents) <= _CELL_EXPR_MAX_K:
+        best = F.array_max(_cell_structs(cents))
+        assigned = u.select(
+            F.col(id_col),
+            F.coalesce(best.getField("cid"), F.lit(-1)).alias("cell"),
+            best.getField("d").alias("cos_centroid"),
+        )
+    else:
+        # large k: the struct-argmax expression would inline k
+        # interpreted HOF dots per row (plan size O(k·dim) — the trap
+        # _CELL_EXPR_MAX_K guards). Assign via the Arrow matrix kernel,
+        # then recover the cosine with ONE fold dot per row against a
+        # broadcast k-row centroid dim (measured 84 s → kernel-bound at
+        # 100×/k=707 for the inline form).
+        assign_udf, _ = _cell_kernels(cents, 1)
+        cents_df = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(cid, list(cv)) for cid, cv in cents], "cell int, cu array<double>"
+            )
+        )
+        assigned = (
+            u.select(F.col(id_col), F.col("uv"), assign_udf(F.col("uv")).alias("cell"))
+            .join(cents_df, "cell")
+            .select(
+                F.col(id_col),
+                F.col("cell"),
+                dot(F.col("uv"), F.col("cu")).alias("cos_centroid"),
+            )
+        )
+    w = Window.partitionBy("cell").orderBy("cos_centroid")
+    pct = F.percent_rank().over(w)
+    return assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("cos_centroid"),
+        pct.alias("pct"),
+        (pct <= F.lit(float(bottom_frac))).alias("is_outlier"),
+    )
+
+
+def embedding_outliers_sql(
+    src: str = "embeddings",
+    n_clusters: int = 8,
+    bottom_frac: float = OUTLIER_BOTTOM_FRAC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB rendering of :func:`embedding_outliers` (anchor
+    centroids) — same assignment rule (argmax dot, higher cid on
+    ties), same percent_rank flag, column-for-column."""
+    d = dot_sql("v.uv", "c.cu")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cid, uv AS cu
+  FROM u ORDER BY {id_col} LIMIT {n_clusters}
+),
+dots AS (SELECT v.{id_col} AS id, c.cid, {d} AS d FROM u v, cents c),
+assigned AS (
+  SELECT id, cell, cos_centroid FROM (
+    SELECT id, cid AS cell, d AS cos_centroid,
+           row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+)
+SELECT id AS {id_col}, cell, cos_centroid,
+       percent_rank() OVER (PARTITION BY cell ORDER BY cos_centroid) AS pct,
+       percent_rank() OVER (PARTITION BY cell ORDER BY cos_centroid)
+         <= CAST({bottom_frac!r} AS DOUBLE) AS is_outlier
+FROM assigned
+"""
