@@ -85,6 +85,7 @@ HEADLINE = [
     "semdedup_prod",
     "source_overlap",
     "embedding_outliers",
+    "source_drift",
 ]
 
 

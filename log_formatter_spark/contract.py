@@ -912,6 +912,7 @@ _GATE_ORDER = [
     "semdedup",
     "source_overlap",
     "embedding_outliers",
+    "source_drift",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -1176,6 +1177,8 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # cross-source containment audit over the banded MinHash pairs
         "source_overlap": lambda s, d: corpus.source_overlap(_docs(s, d)),
+        # per-source unigram total-variation drift (exact-integer form)
+        "source_drift": lambda s, d: corpus.source_drift(_docs(s, d)),
         # per-cell cosine-to-centroid percent-rank outlier flags
         "embedding_outliers": lambda s, d: similarity.embedding_outliers(
             _emb(s, d), n_clusters=8
@@ -1380,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
         "semdedup": dedup.semdedup_sql(n_clusters=8, min_cos=SEMDEDUP_MIN_COS),
         "source_overlap": corpus.source_overlap_sql(),
+        "source_drift": corpus.source_drift_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(n_clusters=8),
         "corpus_filter": corpus.corpus_filter_sql(),
         "split_contamination": corpus.split_contamination_sql(

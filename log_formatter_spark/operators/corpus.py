@@ -804,3 +804,120 @@ SELECT d.source, d.vs_source, t.n_docs, d.dup_docs,
        CAST(d.dup_docs AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS containment
 FROM dups d JOIN tot t ON d.source = t.source
 """
+
+
+# --- per-source distribution drift ------------------------------------------
+
+
+def source_drift(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the corpus-wide
+    distribution — the dataset-shift monitor a multi-source training
+    mix is watched with (a source whose token mix diverges from the
+    corpus is re-weighted or audited before it skews the model).
+
+    TV(s) = ½ Σ_t |n_ts/N_s − n_t/N| over ALL corpus tokens t. Tokens
+    absent from s contribute n_t/N each, so with A_s = Σ_{t∈s}
+    |n_ts·N − n_t·N_s| and B_s = Σ_{t∈s} n_t the closed form is
+    TV(s) = (A_s + (N − B_s)·N_s) / (2·N_s·N) — every sum an EXACT
+    integer (order-free, no transcendentals: the same reason
+    `distinctive_terms` ranks on tf/df instead of log-idf), widened to
+    decimal(38,0) because n_ts·N exceeds int64 beyond ~10× scale
+    (Spark wraps, DuckDB silently promotes to HUGEINT — a divergence
+    this type pin removes). Only the final division is IEEE, on exact
+    operands, so the hash gate verifies it.
+
+    Plan shape at 100 TB: token explode → (source, token) counts
+    (map-side combinable) → vocabulary-sized token totals broadcast
+    back → one per-source aggregate. The corpus total N rides the
+    per-source totals frame via an unpartitioned window — that frame is
+    SOURCE-count-sized (a small dim by construction), so the
+    single-partition window is free, and both N and N_s then attach to
+    the token stream through one broadcast hash join on ``source``
+    (a constant-key join to a 1-row N frame would constant-fold into a
+    BroadcastNestedLoopJoin — the banned node — which is why the window
+    form is used instead).
+
+    Output: (source, n_tokens, tv_dist), one row per source with at
+    least one token.
+    """
+    from log_formatter_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_ts"))
+    tot_t = per.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
+    tot_s = per.groupBy("source").agg(F.sum("n_ts").alias("n_s")).withColumn(
+        "n_tot", F.sum("n_s").over(Window.partitionBy())
+    )
+    dec = "decimal(38,0)"
+    j = per.join(F.broadcast(tot_t), "token").join(F.broadcast(tot_s), "source")
+    agg = j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.max("n_tot").alias("n_all"),
+        F.sum(
+            F.abs(
+                F.col("n_ts").cast(dec) * F.col("n_tot").cast(dec)
+                - F.col("n_t").cast(dec) * F.col("n_s").cast(dec)
+            )
+        ).alias("a"),
+        F.sum(F.col("n_t").cast(dec)).alias("b"),
+    )
+    num = F.col("a") + (
+        (F.col("n_all").cast(dec) - F.col("b")) * F.col("n_tokens").cast(dec)
+    )
+    den = (
+        F.lit(2).cast(dec) * F.col("n_tokens").cast(dec) * F.col("n_all").cast(dec)
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        (num.cast("double") / den.cast("double")).alias("tv_dist"),
+    )
+
+
+def source_drift_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB rendering of :func:`source_drift` — same exact-integer
+    closed form (HUGEINT plays decimal(38,0)), column-for-column."""
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH tok AS (
+  SELECT {source_col} AS source, unnest({toks}) AS token FROM {src}
+),
+per AS (SELECT source, token, count(*) AS n_ts FROM tok GROUP BY source, token),
+tot_t AS (SELECT token, sum(n_ts) AS n_t FROM per GROUP BY token),
+tot_s AS (SELECT source, sum(n_ts) AS n_s FROM per GROUP BY source),
+n AS (SELECT sum(n_s) AS n_tot FROM tot_s),
+agg AS (
+  SELECT p.source,
+         max(s.n_s) AS n_tokens,
+         max(n.n_tot) AS n_all,
+         sum(abs(CAST(p.n_ts AS HUGEINT) * CAST(n.n_tot AS HUGEINT)
+                 - CAST(t.n_t AS HUGEINT) * CAST(s.n_s AS HUGEINT))) AS a,
+         sum(CAST(t.n_t AS HUGEINT)) AS b
+  FROM per p
+  JOIN tot_t t USING (token)
+  JOIN tot_s s USING (source)
+  CROSS JOIN n
+  GROUP BY p.source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(a + (CAST(n_all AS HUGEINT) - b) * CAST(n_tokens AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * CAST(n_tokens AS HUGEINT) * CAST(n_all AS HUGEINT) AS DOUBLE)
+         AS tv_dist
+FROM agg
+"""

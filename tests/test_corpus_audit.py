@@ -128,3 +128,32 @@ def test_embedding_outliers_empty_input(spark):
     out = similarity.embedding_outliers(empty, n_clusters=K)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cell", "cos_centroid", "pct", "is_outlier"]
+
+
+def test_source_drift_matches_python_replica(docs):
+    from fractions import Fraction
+
+    from log_formatter_spark.operators.corpus import source_drift
+
+    per = defaultdict(lambda: defaultdict(int))
+    for r in docs.select("source", "text").collect():
+        for t in r["text"].lower().split(" "):
+            if t:
+                per[r["source"]][t] += 1
+    tot_t = defaultdict(int)
+    for s, d in per.items():
+        for t, c in d.items():
+            tot_t[t] += c
+    n_all = sum(tot_t.values())
+    got = {r["source"]: (r["n_tokens"], r["tv_dist"]) for r in source_drift(docs).collect()}
+    assert set(got) == set(per)
+    for s, d in per.items():
+        n_s = sum(d.values())
+        tv = sum(
+            abs(Fraction(d.get(t, 0), n_s) - Fraction(c, n_all))
+            for t, c in tot_t.items()
+        ) / 2
+        g_n, g_tv = got[s]
+        assert g_n == n_s, s
+        assert g_tv == pytest.approx(float(tv), abs=1e-12), s
+        assert 0.0 <= g_tv <= 1.0
