@@ -571,6 +571,43 @@ def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest against the static corpus band index,
+    hash-checked against the batch incremental_neardup oracle — the
+    FIFTH streaming ≡ batch equivalence shipped as a driver row. Same
+    harness discipline as the other streaming rows: maxFilesPerTrigger=1
+    over 2 input files (exactly one trigger boundary — pair state from
+    trigger 1 must survive into trigger 2's complete-mode table),
+    results round-trip through parquet so the returned plan is a plain
+    scan."""
+    import tempfile
+
+    from log_formatter_spark.streaming.dedup import streaming_neardup
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_neardup_")
+    docs = _docs(spark, sf_dir)
+    src = f"{work}/in"
+    docs.where(F.col("doc_id") % 5 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup(stream, docs.where(F.col("doc_id") % 5 != 0), n=3)
+        .writeStream.format("memory")
+        .queryName("lfs_neardup_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_neardup_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_formatter_spark.operators.asof import attribution_window
 
@@ -913,6 +950,7 @@ _GATE_ORDER = [
     "source_overlap",
     "embedding_outliers",
     "source_drift",
+    "streaming_neardup",
     # --- block 2: graded only in r01/r02 (20), cost-ascending ---------
     "regional_revenue",
     "parse_extract",
@@ -1179,6 +1217,11 @@ def _catalog() -> dict[str, QueryFn]:
         "source_overlap": lambda s, d: corpus.source_overlap(_docs(s, d)),
         # per-source unigram total-variation drift (exact-integer form)
         "source_drift": lambda s, d: corpus.source_drift(_docs(s, d)),
+        # streaming near-dup ingest vs the static corpus band index
+        # (fifth streaming ≡ batch equivalence; oracle = the batch
+        # incremental_neardup SQL — max over band collisions renders
+        # the batch twin's distinct() order-free)
+        "streaming_neardup": _streaming_neardup,
         # per-cell cosine-to-centroid percent-rank outlier flags
         "embedding_outliers": lambda s, d: similarity.embedding_outliers(
             _emb(s, d), n_clusters=8
@@ -1384,6 +1427,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": dedup.semdedup_sql(n_clusters=8, min_cos=SEMDEDUP_MIN_COS),
         "source_overlap": corpus.source_overlap_sql(),
         "source_drift": corpus.source_drift_sql(),
+        "streaming_neardup": dedup.incremental_neardup_sql(
+            "SELECT * FROM documents WHERE doc_id % 5 = 0",
+            "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+            n=3,
+        ),
         "embedding_outliers": similarity.embedding_outliers_sql(n_clusters=8),
         "corpus_filter": corpus.corpus_filter_sql(),
         "split_contamination": corpus.split_contamination_sql(

@@ -272,38 +272,98 @@ def incremental_neardup(
     """
     sig_b = minhash_signatures(batch, n=n, text_col=text_col, id_col=id_col)
     sig_c = minhash_signatures(corpus, n=n, text_col=text_col, id_col=id_col)
-
-    def _bands_with_sig(sig: DataFrame, out_id: str, pfx: str) -> DataFrame:
-        # band hashes are computed from the mh columns BEFORE the rename
-        return sig.select(
-            F.col(id_col).alias(out_id),
-            *[F.col(f"mh{i}").alias(f"{pfx}{i}") for i in range(N_PERM)],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), c.alias("bh"))
-                        for b, c in enumerate(_band_hash_cols())
-                    ]
-                )
-            ).alias("bb"),
-        ).select(
-            out_id,
-            *[f"{pfx}{i}" for i in range(N_PERM)],
-            F.col("bb.band").alias("band"),
-            F.col("bb.bh").alias("bh"),
-        )
-
     eq = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
     )
     return (
-        _bands_with_sig(sig_b, "batch_doc", "a")
-        .join(_bands_with_sig(sig_c, "corpus_doc", "b"), on=["band", "bh"])
+        _bands_with_sig(sig_b, "batch_doc", "a", id_col)
+        .join(_bands_with_sig(sig_c, "corpus_doc", "b", id_col), on=["band", "bh"])
         .select(
             "batch_doc", "corpus_doc", (eq / F.lit(float(N_PERM))).alias("est_jaccard")
         )
         .where(F.col("est_jaccard") >= min_est)
         .distinct()
+    )
+
+
+def _bands_with_sig(
+    sig: DataFrame, out_id: str, pfx: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, mh0..mh15 renamed to pfx0..pfx15, band, bh) — the band
+    explode with the signatures RIDING it (the verify-inline shape both
+    incremental and streaming near-dup build on). Band hashes are
+    computed from the mh columns BEFORE the rename."""
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(f"mh{i}").alias(f"{pfx}{i}") for i in range(N_PERM)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("bh"))
+                    for b, c in enumerate(_band_hash_cols())
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        out_id,
+        *[f"{pfx}{i}" for i in range(N_PERM)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
+
+
+def rowwise_minhash(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-ROW minhash signatures — no explode, no groupBy: the shingle
+    set is built as an ARRAY column and each mh is an ``array_min`` over
+    per-shingle salted-digest slices. Bit-identical to
+    :func:`minhash_signatures` (min over the same multiset of the same
+    40-bit values), but STATELESS — the form an unbounded STREAM can
+    compute per micro-batch row with zero aggregation state, which is
+    what `streaming.dedup.streaming_neardup` builds on. Batch callers
+    should prefer `minhash_signatures`: the grouped form's map-side
+    combine beats per-row array churn once docs are long."""
+    n_digests = (N_PERM + 2) // 3
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") >= n)
+    sh = base.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_toks"), i + F.lit(k)) for k in range(n)],
+            ),
+        ).alias("_sh"),
+    )
+    # single-arg lambda factories: pyspark's `transform` interprets a
+    # TWO-parameter lambda as (element, index) — a `k=k` default arg
+    # would be silently rebound to the array-index column
+    def _salted(k: int):
+        salt = f"{k}|"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    def _sliced(third: int):
+        pos = 1 + 10 * third
+        return lambda m: F.conv(F.substring(m, pos, 10), 16, 10).cast("long")
+
+    dig = sh.select(
+        id_col,
+        *[
+            F.transform(F.col("_sh"), _salted(k)).alias(f"_m{k}")
+            for k in range(n_digests)
+        ],
+    )
+    return dig.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col(f"_m{i // 3}"), _sliced(i % 3))).alias(
+                f"mh{i}"
+            )
+            for i in range(N_PERM)
+        ],
     )
 
 
