@@ -45,6 +45,16 @@ def _weight(tok: Column) -> Column:
     return h % F.lit(_W_SPAN) - F.lit(_W_SHIFT)
 
 
+def _check_weights(weights) -> None:
+    """A weight table of the wrong size would make ``element_at`` read
+    past the array end — NULL in non-ANSI Spark, i.e. silently NULL
+    margins for every doc touching a high bucket — so fail loudly."""
+    if len(weights) != N_BUCKETS:
+        raise ValueError(
+            f"weights must have exactly {N_BUCKETS} entries, got {len(weights)}"
+        )
+
+
 def _fold_margin(toks: Column, weights: list[float] | None) -> Column:
     """Zero-exchange margin fold over the token array: stand-in integer
     weights (long accumulator, the oracle path) or a trained
@@ -52,6 +62,7 @@ def _fold_margin(toks: Column, weights: list[float] | None) -> Column:
     the ``element_at`` lookup stays codegen)."""
     if weights is None:
         return F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _weight(t))
+    _check_weights(weights)
     w_lit = F.lit([float(w) for w in weights])
     return F.aggregate(
         toks,
@@ -212,6 +223,7 @@ def train_step(
         h = md5_60(F.concat(F.lit("w:"), F.col("bucket").cast("string")))
         w0 = (h % F.lit(_W_SPAN) - F.lit(_W_SHIFT)).cast("double")
     else:
+        _check_weights(weights)
         w_lit = F.lit([float(w) for w in weights])
         w0 = F.element_at(w_lit, (F.col("bucket") + 1).cast("int"))
     w_next = w0 + F.lit(lr) * (
@@ -291,8 +303,13 @@ def train_hashed_logreg(
     k-means centroids (training is a pure function of input + knobs)."""
     from log_formatter_spark.operators.similarity import _ANCHOR_MEMO, _memo_key
 
+    # the label EXPRESSION must be part of the key: two trainings with
+    # different label columns on the same input are different models
+    # (`label is None` alone would hand the second caller the first
+    # caller's cached weights)
+    label_repr = "default" if label is None else str(_label_col(label)._jc)
     memo_key = _memo_key(docs, "logreg", n_iter, lr, id_col, text_col,
-                         label is None)
+                         label_repr)
     if memo_key is not None and memo_key in _ANCHOR_MEMO:
         return list(_ANCHOR_MEMO[memo_key])
 

@@ -313,12 +313,24 @@ def exact_spans(
     DuckDB oracle renders the identical hashing, so the driver gate is
     exact either way.
     """
+    if min_tokens < seed:
+        # a span of length in [min_tokens, seed-1] contains no
+        # seed-shingle at all, so it would be SILENTLY invisible —
+        # callers asking for shorter spans must lower the seed too
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= seed ({seed}): spans "
+            "shorter than the seed shingle produce no diagonal run"
+        )
     pos = positional_shingles(df, n=seed, text_col=text_col, id_col=id_col)
     ph = pos.select(F.col(id_col), "i", md5_60(F.col("shingle")).alias("h"))
     if max_df is not None:
-        hot = ph.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
-            F.col("df") > max_df
-        )
+        # DOCUMENT frequency (distinct docs per shingle), matching the
+        # max_doc_freq precedent on ngram_jaccard_pairs — a raw
+        # occurrence count would let within-doc repetition alone trip
+        # the cap and truncate real cross-doc spans
+        hot = ph.groupBy("h").agg(
+            F.countDistinct(id_col).alias("df")
+        ).where(F.col("df") > max_df)
         ph = ph.join(hot, "h", "left_anti")
     a = ph.select(F.col(id_col).alias("doc_a"), F.col("i").alias("ia"), "h")
     b = ph.select(F.col(id_col).alias("doc_b"), F.col("i").alias("ib"), "h")

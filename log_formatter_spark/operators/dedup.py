@@ -272,17 +272,37 @@ def incremental_neardup(
     """
     sig_b = minhash_signatures(batch, n=n, text_col=text_col, id_col=id_col)
     sig_c = minhash_signatures(corpus, n=n, text_col=text_col, id_col=id_col)
+    return _probe_bands(
+        _bands_with_sig(sig_b, "batch_doc", "a", id_col),
+        _bands_with_sig(sig_c, "corpus_doc", "b", id_col),
+        min_est,
+    ).distinct()
+
+
+def _est_jaccard_expr(pfx_a: str = "a", pfx_b: str = "b") -> Column:
+    """Matching-signature fraction over the riding mh columns — the one
+    estimate formula every near-dup probe shares (incremental,
+    index-probe, streaming): change it here and all stay hash-equal."""
     eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
+        F.when(F.col(f"{pfx_a}{i}") == F.col(f"{pfx_b}{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
     )
+    return eq / F.lit(float(N_PERM))
+
+
+def _probe_bands(
+    bands_a: DataFrame, bands_b: DataFrame, min_est: float
+) -> DataFrame:
+    """Band-bucket equality join of two `_bands_with_sig` frames with
+    the estimate computed INLINE on the raw collision stream and the
+    threshold applied BEFORE any pair dedup (the §13 verify-inline
+    shape). Returns filtered, NOT yet deduplicated,
+    (batch_doc, corpus_doc, est_jaccard) rows — batch callers
+    ``.distinct()`` them, the streaming caller max-aggregates them."""
     return (
-        _bands_with_sig(sig_b, "batch_doc", "a", id_col)
-        .join(_bands_with_sig(sig_c, "corpus_doc", "b", id_col), on=["band", "bh"])
-        .select(
-            "batch_doc", "corpus_doc", (eq / F.lit(float(N_PERM))).alias("est_jaccard")
-        )
+        bands_a.join(bands_b, on=["band", "bh"])
+        .select("batch_doc", "corpus_doc", _est_jaccard_expr().alias("est_jaccard"))
         .where(F.col("est_jaccard") >= min_est)
-        .distinct()
     )
 
 
@@ -448,13 +468,10 @@ def minhash_pairs(
     sb = sig.select(
         F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)]
     )
-    eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
-    )
     out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (eq / F.lit(float(N_PERM))).alias("est_jaccard"))
+        .select("doc_a", "doc_b", _est_jaccard_expr().alias("est_jaccard"))
     )
     return out.where(F.col("est_jaccard") >= min_est)
 
@@ -1360,22 +1377,11 @@ def semdedup(
         _CELL_EXPR_MAX_K,
         _argmax_cell,
         _cell_kernels,
-        anchor_units,
-        auto_centroids,
-        train_centroids,
+        resolve_centroids,
     )
 
     u = with_unit(emb, id_col, vec_col)
-    if n_clusters is None:
-        n_clusters = auto_centroids(emb.count())
-    if isinstance(centroids, list):
-        cents = centroids
-    elif centroids == "trained":
-        cents = train_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
-    elif centroids == "anchors":
-        cents = anchor_units(u, n_clusters, id_col=id_col)
-    else:
-        raise ValueError(f"unknown centroids mode {centroids!r}")
+    cents = resolve_centroids(emb, u, n_clusters, centroids, id_col, vec_col)
     if not cents:  # empty corpus: schema-stable empty result
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, cell int, max_prior_cos double, is_dup boolean"
@@ -1548,15 +1554,6 @@ def probe_band_index(
     (batch-sized probe), est filter BEFORE the pair dedup, row-for-row
     equal to the recompute form (pinned in tests/test_band_index.py)."""
     sig_b = minhash_signatures(batch, n=n, text_col=text_col, id_col=id_col)
-    eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
-    )
-    return (
-        _bands_with_sig(sig_b, "batch_doc", "a", id_col)
-        .join(index, on=["band", "bh"])
-        .select(
-            "batch_doc", "corpus_doc", (eq / F.lit(float(N_PERM))).alias("est_jaccard")
-        )
-        .where(F.col("est_jaccard") >= min_est)
-        .distinct()
-    )
+    return _probe_bands(
+        _bands_with_sig(sig_b, "batch_doc", "a", id_col), index, min_est
+    ).distinct()

@@ -1234,6 +1234,29 @@ SELECT q_id, neighbor_id, rank, approx_cos FROM (
 OUTLIER_BOTTOM_FRAC = 0.1
 
 
+def resolve_centroids(
+    emb: DataFrame,
+    u: DataFrame,
+    n_clusters: int | None,
+    centroids: str | list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Shared centroid resolution for the cell-assignment operators
+    (semdedup, embedding_outliers): explicit list passes through
+    untouched — in particular WITHOUT the ``emb.count()`` auto-sizing
+    scan, which is only paid when a count is actually needed to pick k."""
+    if isinstance(centroids, list):
+        return centroids
+    if n_clusters is None:
+        n_clusters = auto_centroids(emb.count())
+    if centroids == "trained":
+        return train_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
+    if centroids == "anchors":
+        return anchor_units(u, n_clusters, id_col=id_col)
+    raise ValueError(f"unknown centroids mode {centroids!r}")
+
+
 def embedding_outliers(
     emb: DataFrame,
     n_clusters: int | None = 8,
@@ -1266,16 +1289,7 @@ def embedding_outliers(
     same swap quality_deciles documents for its exact ranks).
     """
     u = with_unit(emb, id_col, vec_col)
-    if n_clusters is None:
-        n_clusters = auto_centroids(emb.count())
-    if isinstance(centroids, list):
-        cents = centroids
-    elif centroids == "trained":
-        cents = train_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
-    elif centroids == "anchors":
-        cents = anchor_units(u, n_clusters, id_col=id_col)
-    else:
-        raise ValueError(f"unknown centroids mode {centroids!r}")
+    cents = resolve_centroids(emb, u, n_clusters, centroids, id_col, vec_col)
     if not cents:  # empty corpus: schema-stable empty result
         return emb.sparkSession.createDataFrame(
             [],

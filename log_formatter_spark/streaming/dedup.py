@@ -142,27 +142,20 @@ def streaming_neardup(
     from pyspark.sql import functions as F
 
     from log_formatter_spark.operators.dedup import (
-        N_PERM,
         _bands_with_sig,
+        _probe_bands,
         minhash_signatures,
         rowwise_minhash,
     )
 
     sig_b = rowwise_minhash(batch_stream, n=n, text_col=text_col, id_col=id_col)
     sig_c = minhash_signatures(corpus, n=n, text_col=text_col, id_col=id_col)
-    eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(N_PERM)
-    )
     return (
-        _bands_with_sig(sig_b, "batch_doc", "a", id_col)
-        .join(_bands_with_sig(sig_c, "corpus_doc", "b", id_col), on=["band", "bh"])
-        .select(
-            "batch_doc",
-            "corpus_doc",
-            (eq / F.lit(float(N_PERM))).alias("est"),
+        _probe_bands(
+            _bands_with_sig(sig_b, "batch_doc", "a", id_col),
+            _bands_with_sig(sig_c, "corpus_doc", "b", id_col),
+            min_est,
         )
-        .where(F.col("est") >= min_est)
         .groupBy("batch_doc", "corpus_doc")
-        .agg(F.max("est").alias("est_jaccard"))
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )

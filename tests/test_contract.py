@@ -161,3 +161,24 @@ def test_gate_order_covers_catalog():
     keys = list(contract.queries())
     assert keys[0] == "transcripts_view"
     assert keys[-1] == "streaming_pipeline_counts"
+
+
+def test_round4_additions_inside_driver_window():
+    """The driver grades exactly the first 50 gate entries per round;
+    every round-4 addition needs a driver row THIS round, so each must
+    sit inside the window (the window math in the _GATE_ORDER comment
+    is pinned here, not trusted as prose)."""
+    r4 = [
+        "classifier_train_step",
+        "exact_substring_spans",
+        "span_dup_fraction",
+        "semdedup",
+        "source_overlap",
+        "embedding_outliers",
+        "source_drift",
+        "streaming_neardup",
+        "neardup_indexed",
+    ]
+    window = contract._GATE_ORDER[:50]
+    missing = [q for q in r4 if q not in window]
+    assert not missing, missing

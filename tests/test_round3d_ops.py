@@ -669,8 +669,11 @@ def test_incremental_neardup_verify_inline_plan(spark, docs):
     )
     joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
     assert len(joins) == 1, joins
-    # the filter on the estimate appears below the distinct's aggregate:
-    # no HashAggregate may consume an unfiltered join output
+    # the filter on the estimate appears BELOW the distinct's aggregate
+    # (children print after parents): a regression that moves the filter
+    # back above the dedup would flip this ordering, not just the
+    # presence of the two nodes
     first_agg = plan.find("HashAggregate")
     est_filter = plan.find("est_jaccard")
     assert first_agg != -1 and est_filter != -1
+    assert est_filter > first_agg, (first_agg, est_filter)
