@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_outliers",
     "source_drift",
     "neardup_indexed",
+    "conv_neardup",
 ]
 
 
@@ -230,6 +231,20 @@ def _neardup_probe_indexed(spark, sf_dir):
     )
 
 
+def _conv_neardup_raw(spark, sf_dir):
+    # RAW transcripts (no contract fixture): the fixture's every-7th-conv
+    # shared template is gate-sized by design — at 100x it puts ~10k
+    # conversations into TWO mutual-dup classes, and any pair
+    # enumeration over a dup CLASS is quadratic in the class (measured:
+    # 24 s at 10x -> 457 s at 100x WITH the fixture, the exact artifact
+    # class _exact_spans_raw documents). Natural re-log rates are what
+    # the operator is designed for.
+    from log_formatter_spark.operators.conversations import conv_neardup
+    from log_formatter_spark.transcripts import transcripts_from_events
+
+    return conv_neardup(transcripts_from_events(spark, sf_dir), min_est=0.3)
+
+
 def _outliers_auto(spark, sf_dir):
     # auto-sized cluster count: the CONTRACT query pins n_clusters=8
     # (static oracle), which caps the per-cell percent_rank window at 8
@@ -264,6 +279,7 @@ BENCH_OVERRIDES = {
     "semdedup_prod": _semdedup_prod,
     "embedding_outliers": _outliers_auto,
     "neardup_indexed": _neardup_probe_indexed,
+    "conv_neardup": _conv_neardup_raw,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
     "pq_topk_trained": _pq_trained,

@@ -571,6 +571,41 @@ def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+_CONV_ND_TEMPLATE = (
+    "near dup conversation template alpha beta gamma delta epsilon zeta eta theta t"
+)
+
+
+def _nd_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts with a deterministic near-dup conversation fixture
+    (the _inc_docs pattern): every 7th conversation's turns become a
+    shared periodic template in two classes (conv % 2), so same-class
+    convs are est=1.0 pairs at EVERY sf and cross-class convs exercise
+    the partial-overlap branch at sf0.01 (1 pair at sf0.001, 110 at
+    sf0.01 — 53 exact + 57 near)."""
+    cn = F.expr("CAST(substr(conv_id, 6) AS BIGINT)")
+    fixture = F.concat(
+        F.lit(_CONV_ND_TEMPLATE),
+        (F.col("turn_idx") % 4).cast("string"),
+        F.lit(" mark"),
+        (cn % 2).cast("string"),
+    )
+    return transcripts_from_events(spark, sf_dir).withColumn(
+        "text", F.when(cn % 7 == 0, fixture).otherwise(F.col("text"))
+    )
+
+
+_CONV_ND_FIXTURE_SQL = f"""(
+  SELECT conv_id, turn_idx,
+         CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 7 = 0
+              THEN '{_CONV_ND_TEMPLATE}'
+                   || CAST(turn_idx % 4 AS VARCHAR) || ' mark'
+                   || CAST(CAST(substr(conv_id, 6) AS BIGINT) % 2 AS VARCHAR)
+              ELSE text END AS text
+  FROM transcripts
+)"""
+
+
 def _neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """incremental_neardup through the MATERIALIZED band index: write
     the corpus index to parquet, read it back, probe — same rows as the
@@ -973,6 +1008,7 @@ _GATE_ORDER = [
     "source_drift",
     "streaming_neardup",
     "neardup_indexed",
+    "conv_neardup",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1161,6 +1197,11 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         "conv_qa": lambda s, d: conversations.conv_qa(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
+        ),
+        # conversation-LEVEL near-dup: re-logged sessions with small
+        # edits that the exact content key treats as distinct
+        "conv_neardup": lambda s, d: conversations.conv_neardup(
+            _nd_transcripts(s, d), min_est=0.6
         ),
         "error_burst": lambda s, d: olap.error_burst(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
@@ -1423,6 +1464,8 @@ def oracle_sql() -> dict[str, str]:
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
         ),
         "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
+        "conv_neardup": TRANSCRIPT_CTES
+        + conversations.conv_neardup_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "classifier_margin": classifier.hashed_margin_sql(),
         "classifier_train_step": classifier.train_step_sql(),

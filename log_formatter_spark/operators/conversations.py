@@ -327,3 +327,79 @@ FROM (
   FROM {turns_cte} WHERE ts IS NOT NULL GROUP BY {keys}
 )
 """
+
+
+# --- conversation-level near-dup ---------------------------------------------
+
+
+def conv_text(transcripts: DataFrame, canon: Column | None = None) -> DataFrame:
+    """``(conv_id, text)``: each conversation's turns joined with
+    newlines in canonical ``(turn_idx, text)`` sort order — the
+    document form conversation-LEVEL near-dup operates on (same
+    array_sort canonicalization as ``_content_key``, kept as text
+    instead of hashed)."""
+    canon = F.col("text") if canon is None else canon
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c")))
+    )
+    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
+    return transcripts.groupBy("conv_id").agg(joined.alias("text"))
+
+
+def conv_neardup(
+    transcripts: DataFrame,
+    n: int = 3,
+    min_est: float = 0.5,
+    canon: Column | None = None,
+) -> DataFrame:
+    """Conversation-level NEAR-dup: MinHash-banded candidate pairs over
+    the assembled conversation text — catches re-logged sessions with
+    small edits (timestamps, retries, one changed turn) that the exact
+    content key in ``conv_dedup`` treats as distinct. Output
+    ``(conv_a, conv_b, est_jaccard)`` with conv_a < conv_b.
+
+    Plan shape: one conv_id exchange to assemble the text, then exactly
+    the document near-dup plan (band equality joins, signatures reused
+    through one exchange) — a conversation is a document here, so every
+    scale property of `dedup.minhash_pairs` carries over unchanged."""
+    from log_formatter_spark.operators.dedup import minhash_pairs
+
+    pairs = minhash_pairs(
+        conv_text(transcripts, canon), n=n, id_col="conv_id", min_est=min_est
+    )
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "est_jaccard",
+    )
+
+
+def conv_neardup_sql(
+    transcripts_cte: str = "transcripts",
+    n: int = 3,
+    min_est: float = 0.5,
+    canon_sql: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`conv_neardup` (same canonical join
+    order, same banded pairs — nested-WITH composition, the
+    split_contamination precedent)."""
+    from log_formatter_spark.operators.dedup import minhash_pairs_sql
+
+    # minhash_pairs_sql begins with its own WITH chain; splice conv_docs
+    # in as the first CTE of that chain (two sibling WITHs would be a
+    # syntax error)
+    inner = minhash_pairs_sql(
+        src="conv_docs", n=n, id_col="conv_id", min_est=min_est
+    ).lstrip()
+    assert inner.startswith("WITH"), "minhash_pairs_sql shape changed"
+    inner_ctes = inner.removeprefix("WITH")
+    return f"""
+SELECT doc_a AS conv_a, doc_b AS conv_b, est_jaccard FROM (
+  WITH conv_docs AS (
+    SELECT conv_id,
+           string_agg({canon_sql}, chr(10) ORDER BY turn_idx, {canon_sql}) AS text
+    FROM {transcripts_cte} GROUP BY conv_id
+  ),
+  {inner_ctes}
+)
+"""

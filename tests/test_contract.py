@@ -178,6 +178,7 @@ def test_round4_additions_inside_driver_window():
         "source_drift",
         "streaming_neardup",
         "neardup_indexed",
+        "conv_neardup",
     ]
     window = contract._GATE_ORDER[:50]
     missing = [q for q in r4 if q not in window]

@@ -126,3 +126,59 @@ def test_boilerplate_fraction(spark):
     assert out[0]["n_shingles"] == 3 and out[0]["n_boiler"] == 1
     assert abs(out[0]["boiler_frac"] - 1 / 3) < 1e-15
     assert out[3]["n_boiler"] == 0 and out[3]["boiler_frac"] == 0.0
+
+
+def test_conv_neardup_finds_edited_rerun(spark):
+    from log_formatter_spark.operators.conversations import conv_neardup, conv_text
+
+    # 30 distinct-content turns: one edited turn keeps est ~0.94 and a
+    # full band still matches (detection is DETERMINISTIC for fixed
+    # texts — the md5 band family either collides or it doesn't)
+    base = [
+        (
+            "c1",
+            i,
+            f"shared turn content alpha beta gamma delta epsilon count {i} word{i * 7 % 13}",
+        )
+        for i in range(30)
+    ]
+    # c2 = c1 re-logged with ONE edited turn (near-dup, not exact);
+    # c3 = unrelated
+    edited = [
+        ("c2", i, t if i != 29 else "an entirely different edited turn body")
+        for (_, i, t) in base
+    ]
+    other = [("c3", i, f"totally unrelated conversation text {i} xyz") for i in range(30)]
+    def rows(tuples):
+        return [
+            (c, i, "user", txt, dt.datetime(2024, 1, 1, 0, i)) for c, i, txt in tuples
+        ]
+
+    t = _turns(spark, rows(base + edited + other))
+    pairs = {
+        (r["conv_a"], r["conv_b"]): r["est_jaccard"]
+        for r in conv_neardup(t, min_est=0.5).collect()
+    }
+    assert set(pairs) == {("c1", "c2")}
+    assert 0.5 <= pairs[("c1", "c2")] < 1.0  # near, not exact
+    # exact re-log IS est 1.0
+    relog = [("c4", i, t2) for (_, i, t2) in base]
+    t2 = _turns(spark, rows(base + edited + other + relog))
+    pairs2 = {
+        (r["conv_a"], r["conv_b"]): r["est_jaccard"]
+        for r in conv_neardup(t2, min_est=0.5).collect()
+    }
+    assert pairs2[("c1", "c4")] == 1.0
+
+
+def test_conv_text_order_is_canonical(spark):
+    from log_formatter_spark.operators.conversations import conv_text
+
+    rows = [
+        ("c1", 2, "user", "third", dt.datetime(2024, 1, 1)),
+        ("c1", 0, "user", "first first first", dt.datetime(2024, 1, 1)),
+        ("c1", 1, "user", "second", dt.datetime(2024, 1, 1)),
+    ]
+    t = _turns(spark, rows).repartition(3)
+    out = conv_text(t).collect()
+    assert out[0]["text"] == "first first first\nsecond\nthird"
