@@ -1557,3 +1557,24 @@ def probe_band_index(
     return _probe_bands(
         _bands_with_sig(sig_b, "batch_doc", "a", id_col), index, min_est
     ).distinct()
+
+
+def write_band_index_bucketed(
+    corpus: DataFrame,
+    table: str,
+    n: int = 3,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """The PRODUCTION layout of the maintained band index: a catalog
+    table bucketed (and sorted) on the join keys ``(band, bh)``, so an
+    ingest probe shuffles ONLY the batch side — the index reads
+    bucket-aligned with zero exchange (pinned by
+    tests/test_band_index.py::test_bucketed_probe_plan_is_one_sided).
+    At 10^12 docs the index side is the 16×-corpus-rows artifact, so
+    its shuffle is the one worth designing away; appends go through
+    ``insertInto`` which preserves the bucket spec."""
+    band_index(corpus, n=n, text_col=text_col, id_col=id_col).write.bucketBy(
+        buckets, "band", "bh"
+    ).sortBy("band", "bh").mode("overwrite").format("parquet").saveAsTable(table)

@@ -60,3 +60,43 @@ def test_index_schema_is_the_verify_inline_layout(spark, docs, work):
     assert idx.columns == (
         ["corpus_doc"] + [f"b{i}" for i in range(dedup.N_PERM)] + ["band", "bh"]
     )
+
+
+def test_bucketed_probe_plan_is_one_sided(spark, docs, work):
+    """The production bucketed layout: probing the (band, bh)-bucketed
+    catalog table must shuffle ONLY the batch side — the parquet-path
+    probe exchanges both sides, the bucketed probe exactly one fewer.
+    Broadcast is disabled for the plan check because at gate scale the
+    index fits the broadcast threshold and the join never sort-merges;
+    at 100 TB the index side is the 16×-corpus-rows artifact and the
+    SMJ shape below IS the production plan."""
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    table = "lfs_test_band_index_bucketed"
+    dedup.write_band_index_bucketed(corpus, table, buckets=4)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dedup.write_band_index(corpus, f"{work}/flat_idx")
+        flat = dedup.probe_band_index(
+            batch, spark.read.parquet(f"{work}/flat_idx"), n=3
+        )
+        bucketed = dedup.probe_band_index(batch, spark.table(table), n=3)
+        # row-identical results
+        assert {tuple(r) for r in bucketed.collect()} == {
+            tuple(r) for r in flat.collect()
+        }
+
+        def plan_of(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        def n_exchanges(df):
+            return plan_of(df).count("Exchange hashpartitioning")
+
+        # strictly fewer exchanges (the exact count is AQE/session
+        # dependent; the saved INDEX-side shuffle is the invariant)
+        assert n_exchanges(bucketed) < n_exchanges(flat)
+        assert "Bucketed: true" in plan_of(bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
