@@ -88,6 +88,8 @@ HEADLINE = [
     "source_drift",
     "neardup_indexed",
     "conv_neardup",
+    # round 4b-continued: preference-pair mining (DPO data construction)
+    "preference_pairs",
 ]
 
 

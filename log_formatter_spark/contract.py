@@ -63,6 +63,8 @@ from log_formatter_spark.transcripts import (
     TRANSCRIPT_PATTERN,
     TRANSCRIPTS_SQL,
     assemble_conversations,
+    preference_pairs,
+    preference_pairs_sql,
     sft_pairs,
     sft_pairs_sql,
     transcripts_from_events,
@@ -1009,6 +1011,9 @@ _GATE_ORDER = [
     "streaming_neardup",
     "neardup_indexed",
     "conv_neardup",
+    # --- new in round 4b-continued (never graded; slots 41+ displace
+    # r01/r02-graded entries whose union coverage is already banked) ---
+    "preference_pairs",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1186,6 +1191,9 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # SFT example mining: (context window, assistant response) pairs
         "sft_pairs": lambda s, d: sft_pairs(transcripts_from_events(s, d)),
+        "preference_pairs": lambda s, d: preference_pairs(
+            transcripts_from_events(s, d)
+        ),
         # conversation-level curation: ts-stripped canonical text (a
         # retried conv is identical content at a different wall clock),
         # first-2-turn template-prefix grouping (non-trivial collapse on
@@ -1459,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": sh.repetition_score_sql(n=3),
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
+        "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
