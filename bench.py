@@ -88,8 +88,10 @@ HEADLINE = [
     "source_drift",
     "neardup_indexed",
     "conv_neardup",
-    # round 4b-continued: preference-pair mining (DPO data construction)
+    # round 4b-continued: preference-pair mining (DPO data construction),
+    # edit-distance-verified near-dup
     "preference_pairs",
+    "neardup_edit",
 ]
 
 

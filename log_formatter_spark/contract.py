@@ -96,6 +96,10 @@ TEMPORAL_CUTOFF = "2024-01-16 00:00:00"
 # decontamination: every 23rd doc plays the "benchmark" corpus (31
 # flagged train docs at sf0.01 with 4-gram shingles; 36 at sf0.001)
 DECONTAM_EVAL_MOD = 23
+# edit-distance verify bound: the driver corpus' MinHash candidates sit
+# at distance 4-12, so 6 exercises both the keep and reject branches
+# (24 kept / 4 rejected at sf0.001; 24 / 1 at sf0.01)
+EDIT_MAX_DIST = 6
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1014,6 +1018,7 @@ _GATE_ORDER = [
     # --- new in round 4b-continued (never graded; slots 41+ displace
     # r01/r02-graded entries whose union coverage is already banked) ---
     "preference_pairs",
+    "neardup_edit",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1253,6 +1258,9 @@ def _catalog() -> dict[str, QueryFn]:
             _docs(s, d), n=3
         ),
         "dedup_minhash": lambda s, d: dedup.minhash_pairs(_docs(s, d), n=3),
+        "neardup_edit": lambda s, d: dedup.edit_verified_pairs(
+            _docs(s, d), max_edit=EDIT_MAX_DIST, min_est=NGRAM_MIN_JACCARD
+        ),
         # near-dup tier of incremental ingest: batch bands probe the
         # corpus band index (natural near-dups cross the %5 split)
         "incremental_neardup": lambda s, d: dedup.incremental_neardup(
@@ -1487,6 +1495,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_incremental_dedup": _STREAMING_INC_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(n=3),
         "dedup_minhash": dedup.minhash_pairs_sql(n=3),
+        "neardup_edit": dedup.edit_verified_pairs_sql(
+            max_edit=EDIT_MAX_DIST, min_est=NGRAM_MIN_JACCARD
+        ),
         "incremental_neardup": dedup.incremental_neardup_sql(
             "SELECT * FROM documents WHERE doc_id % 5 = 0",
             "SELECT * FROM documents WHERE doc_id % 5 <> 0",

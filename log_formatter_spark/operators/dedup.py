@@ -530,6 +530,80 @@ WHERE ({eq}) / {float(N_PERM)} >= {min_est}
 """
 
 
+def edit_verified_pairs(
+    df: DataFrame,
+    max_edit: int,
+    n: int = 3,
+    min_est: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: MinHash banding for recall,
+    bounded Levenshtein for precision — the verify step templated-spam
+    dedup needs (Jaccard over shingle SETS is blind to token order and
+    repetition; edit distance is not). Output
+    ``(doc_a, doc_b, est_jaccard, edit_dist)`` with ``edit_dist <=
+    max_edit`` over the house-normalized text.
+
+    Plan shape: candidates form only through the band equality joins of
+    :func:`minhash_pairs` (est-filtered by ``min_est`` BEFORE anything
+    touches full text), then ONE join-back per side fetches the
+    normalized text for the surviving candidates. The join-back is
+    deliberate, not the §13 anti-pattern: full documents are orders of
+    magnitude too wide to ride a 4-band explode the way 16-column
+    signatures do, so est-filter-then-fetch moves strictly fewer bytes
+    than text-rides-the-bands — the opposite tradeoff from
+    incremental_neardup's inline verify, chosen for the opposite reason.
+
+    The verify itself is JVM codegen: ``levenshtein(a, b, max_edit)``
+    runs the banded O(max_edit · len) algorithm and returns -1 past the
+    bound (never the full O(len²) table), so per-pair cost is capped by
+    the caller's edit budget, not document length."""
+    pairs = minhash_pairs(
+        df, n=n, text_col=text_col, id_col=id_col, min_est=min_est
+    )
+    t = df.select(F.col(id_col), norm_text_expr(text_col).alias("_nt"))
+    ta = t.select(F.col(id_col).alias("doc_a"), F.col("_nt").alias("_ta"))
+    tb = t.select(F.col(id_col).alias("doc_b"), F.col("_nt").alias("_tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.levenshtein("_ta", "_tb", max_edit).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") >= 0)
+    )
+
+
+def edit_verified_pairs_sql(
+    src: str = "documents",
+    max_edit: int = 64,
+    n: int = 3,
+    min_est: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of :func:`edit_verified_pairs` (same candidates,
+    full ``levenshtein`` filtered to the bound — identical distances on
+    every surviving row)."""
+    inner = minhash_pairs_sql(
+        src=src, n=n, text_col=text_col, id_col=id_col, min_est=min_est
+    )
+    lev = "levenshtein(na.nt, nb.nt)"
+    return f"""
+WITH pairs AS ({inner}),
+nt AS (SELECT {id_col}, {norm_text_sql(text_col)} AS nt FROM {src})
+SELECT p.doc_a, p.doc_b, p.est_jaccard, {lev} AS edit_dist
+FROM pairs p
+JOIN nt na ON p.doc_a = na.{id_col}
+JOIN nt nb ON p.doc_b = nb.{id_col}
+WHERE {lev} <= {max_edit}
+"""
+
+
 # --- simhash --------------------------------------------------------------
 
 SIMHASH_BITS = 60
