@@ -92,6 +92,7 @@ HEADLINE = [
     # edit-distance-verified near-dup
     "preference_pairs",
     "neardup_edit",
+    "semantic_decontaminate",
 ]
 
 

@@ -100,6 +100,11 @@ DECONTAM_EVAL_MOD = 23
 # at distance 4-12, so 6 exercises both the keep and reject branches
 # (24 kept / 4 rejected at sf0.001; 24 / 1 at sf0.01)
 EDIT_MAX_DIST = 6
+# semantic decontamination threshold: the synthetic embeddings' weak
+# cluster structure tops out near cos 0.5 (the EMBED_MIN_COS note), so
+# 0.3 yields a non-trivial flag set (56/500 train vectors at sf0.01 vs
+# 3/500 at 0.4); production would sit near 0.9
+SEM_DECON_MIN_COS = 0.3
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1019,6 +1024,7 @@ _GATE_ORDER = [
     # r01/r02-graded entries whose union coverage is already banked) ---
     "preference_pairs",
     "neardup_edit",
+    "semantic_decontaminate",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1330,6 +1336,11 @@ def _catalog() -> dict[str, QueryFn]:
         "decontaminate": lambda s, d: corpus.decontaminate(
             _docs(s, d), eval_pred=F.col("doc_id") % DECONTAM_EVAL_MOD == 0
         ),
+        "semantic_decontaminate": lambda s, d: corpus.semantic_decontaminate(
+            _emb(s, d),
+            eval_pred=F.col("vec_id") % DECONTAM_EVAL_MOD == 0,
+            min_cos=SEM_DECON_MIN_COS,
+        ),
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
@@ -1537,6 +1548,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": corpus.hash_sample_sql(),
         "decontaminate": corpus.decontaminate_sql(
             f"doc_id % {DECONTAM_EVAL_MOD} = 0"
+        ),
+        "semantic_decontaminate": corpus.semantic_decontaminate_sql(
+            "({id}) % " + f"{DECONTAM_EVAL_MOD} = 0",
+            min_cos=SEM_DECON_MIN_COS,
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
