@@ -93,6 +93,7 @@ HEADLINE = [
     "preference_pairs",
     "neardup_edit",
     "semantic_decontaminate",
+    "bloom_membership",
 ]
 
 

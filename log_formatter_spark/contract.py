@@ -105,6 +105,12 @@ EDIT_MAX_DIST = 6
 # 0.3 yields a non-trivial flag set (56/500 train vectors at sf0.01 vs
 # 3/500 at 0.4); production would sit near 0.9
 SEM_DECON_MIN_COS = 0.3
+# bloom filter sized so the fixture exercises ALL THREE outcome classes
+# at the driver's sf0.01 (m=2048/k=3 over ~400 corpus keys: 50 true
+# hits, 3 false positives, 47 true negatives); production m scales with
+# the corpus key count (bits/key ~ 14 for 1e-4 FP), still broadcastable
+BLOOM_M_BITS = 2048
+BLOOM_K = 3
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -934,6 +940,34 @@ def _inc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
 
 
+def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inc_docs(spark, sf_dir)
+    key = F.md5(dedup.norm_text_expr("text"))
+    return sketch.bloom_membership(
+        corpus_keys=docs.where(F.col("doc_id") % 5 != 0).select(key.alias("key")),
+        batch_keys=docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id", key.alias("key")
+        ),
+        m=BLOOM_M_BITS,
+        k=BLOOM_K,
+    )
+
+
+def _bloom_membership_sql() -> str:
+    norm = dedup.norm_text_sql("text")
+    return sketch.bloom_membership_sql(
+        corpus_src=(
+            f"SELECT md5({norm}) AS key FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0"
+        ),
+        batch_src=(
+            f"SELECT doc_id, md5({norm}) AS key FROM ({_INC_DOCS_SQL}) "
+            "WHERE doc_id % 5 = 0"
+        ),
+        m=BLOOM_M_BITS,
+        k=BLOOM_K,
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _inc_docs(spark, sf_dir)
     return dedup.incremental_dedup(
@@ -1025,6 +1059,7 @@ _GATE_ORDER = [
     "preference_pairs",
     "neardup_edit",
     "semantic_decontaminate",
+    "bloom_membership",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1259,6 +1294,7 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
         "incremental_dedup": _incremental_dedup,
+        "bloom_membership": _bloom_membership,
         "streaming_incremental_dedup": _streaming_incremental_dedup,
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d), n=3
@@ -1499,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_train_step": classifier.train_step_sql(),
         "mixture_epochs": corpus.mixture_epochs_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
+        "bloom_membership": _bloom_membership_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(
             batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
             corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",

@@ -99,3 +99,138 @@ SELECT {group_col},
        n_seen < {k} AS is_exact
 FROM ranked WHERE rn = least({k}, n_seen)
 """
+
+
+# --- Bloom-filter membership ------------------------------------------------
+#
+# Why this exists next to Spark's own bloom_filter_agg / Parquet bloom
+# filters: those are engine-private binary formats (unverifiable across
+# engines), while this one is built from the same md5-derived hash
+# family as every other sketch here — so the driver's value-hash gate
+# can check BOTH the filter construction and the probe semantics
+# exactly. m bits are packed 32-per-BIGINT word (bit 31 is the largest
+# shift, so every mask stays positive and >> behaves identically in
+# Spark and DuckDB).
+
+_BLOOM_WORD = 32
+
+
+def _bloom_pos_arr(key_col: str, m: int, k: int):
+    from log_formatter_spark.functions.hashing import md5_60
+
+    return F.array(
+        *[
+            md5_60(F.concat(F.col(key_col), F.lit(f"|{i}"))) % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_membership(
+    corpus_keys: DataFrame,
+    batch_keys: DataFrame,
+    m: int,
+    k: int,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter membership pre-filter with measured ground truth:
+    build an m-bit / k-hash Bloom filter over the corpus key set, probe
+    every batch key, and emit ``(id, bloom_hit, is_member)`` — the
+    memory-bounded structure that lets a 1000-executor ingest job ask
+    "probably seen before?" without joining the 10^12-key corpus index.
+
+    100 TB plan: the filter is m/32 BIGINT words REGARDLESS of corpus
+    size — one explode + bit_or aggregation over the corpus (map-side
+    partials, ≤ m/32 rows out), then the words BROADCAST and the probe
+    is a map-side broadcast-hash join per batch position (the batch
+    never shuffles to probe). No membership structure this size exists
+    otherwise: the corpus key index that incremental_dedup joins against
+    is corpus-sized; this is constant-sized with a tunable FP rate
+    (~(1-e^(-kn/m))^k). The ``is_member`` column is the measurement
+    harness (exact join, batch-bounded output) that makes the FP rate an
+    observable, the ann_recall discipline; production pipelines consume
+    ``bloom_hit`` alone and route hits to the exact verifier.
+    """
+    pos = _bloom_pos_arr(key_col, m, k)
+    bloom = (
+        corpus_keys.select(F.explode(pos).alias("pos"))
+        .select(
+            F.expr("pos DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "m1"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m1").alias("mask"))
+    )
+    probe = (
+        batch_keys.select(F.col(id_col), F.col(key_col), F.explode(pos).alias("pos"))
+        .select(
+            id_col,
+            key_col,
+            F.expr("pos DIV 32").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            id_col,
+            key_col,
+            (
+                F.col("mask").isNotNull()
+                & (F.expr("shiftright(mask, bit)").bitwiseAND(F.lit(1)) == 1)
+            ).alias("hit"),
+        )
+    )
+    per_id = probe.groupBy(id_col, key_col).agg(
+        F.bool_and("hit").alias("bloom_hit")
+    )
+    members = corpus_keys.select(key_col).distinct().withColumn(
+        "_in", F.lit(True)
+    )
+    return per_id.join(members, key_col, "left").select(
+        id_col,
+        "bloom_hit",
+        F.coalesce(F.col("_in"), F.lit(False)).alias("is_member"),
+    )
+
+
+def bloom_membership_sql(
+    corpus_src: str,
+    batch_src: str,
+    m: int,
+    k: int,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of :func:`bloom_membership`. ``corpus_src`` must
+    yield ``key``; ``batch_src`` must yield ``(id, key)`` — pass SELECT
+    bodies, they are spliced as CTEs."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    h = MD5_60_SQL.format(x=f"{key_col} || '|' || CAST(i AS VARCHAR)")
+    series = f"(SELECT unnest(generate_series(0, {k - 1})) AS i) _i"
+    return f"""
+WITH ck AS ({corpus_src}),
+bk AS ({batch_src}),
+cpos AS (SELECT ({h}) % {m} AS pos FROM ck CROSS JOIN {series}),
+bloom AS (
+  SELECT pos // {_BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS mask
+  FROM cpos GROUP BY pos // {_BLOOM_WORD}
+),
+bprobe AS (
+  SELECT {id_col}, {key_col}, ({h}) % {m} AS pos FROM bk CROSS JOIN {series}
+),
+hits AS (
+  SELECT p.{id_col}, p.{key_col},
+         bool_and(b.mask IS NOT NULL
+                  AND ((b.mask >> CAST(p.pos % {_BLOOM_WORD} AS INTEGER)) & 1) = 1
+         ) AS bloom_hit
+  FROM bprobe p LEFT JOIN bloom b ON p.pos // {_BLOOM_WORD} = b.word
+  GROUP BY p.{id_col}, p.{key_col}
+),
+mem AS (SELECT DISTINCT {key_col} FROM ck)
+SELECT h.{id_col}, h.bloom_hit, (m.{key_col} IS NOT NULL) AS is_member
+FROM hits h LEFT JOIN mem m USING ({key_col})
+"""
