@@ -94,6 +94,7 @@ HEADLINE = [
     "neardup_edit",
     "semantic_decontaminate",
     "bloom_membership",
+    "dup_families",
 ]
 
 
@@ -112,6 +113,23 @@ def _embedding_lsh_auto(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_dup_pairs_lsh(emb, min_cos=contract.EMBED_MIN_COS)
+
+
+def _sem_decon_auto(spark, sf_dir):
+    # production configuration: bucket bits auto-sized (the same §5a law
+    # as dedup_embedding_lsh — the pinned-3-bit CONTRACT config measured
+    # 552 s at 100× where auto stays linear; the pin exists only because
+    # the DuckDB oracle is a static SQL string)
+    from pyspark.sql import functions as F
+
+    from log_formatter_spark.operators import corpus
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return corpus.semantic_decontaminate(
+        emb,
+        eval_pred=F.col("vec_id") % contract.DECONTAM_EVAL_MOD == 0,
+        min_cos=contract.SEM_DECON_MIN_COS,
+    )
 
 
 def _ivf_trained(spark, sf_dir):
@@ -281,6 +299,7 @@ def _semdedup_prod(spark, sf_dir):
 
 BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
+    "semantic_decontaminate": _sem_decon_auto,
     "semdedup": _semdedup_auto,
     "semdedup_prod": _semdedup_prod,
     "embedding_outliers": _outliers_auto,

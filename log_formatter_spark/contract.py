@@ -1060,6 +1060,7 @@ _GATE_ORDER = [
     "neardup_edit",
     "semantic_decontaminate",
     "bloom_membership",
+    "dup_families",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1356,6 +1357,9 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_clusters": lambda s, d: dedup.cluster_pairs(
             _docs(s, d), dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5)
         ),
+        "dup_families": lambda s, d: dedup.dup_families(
+            _docs(s, d), max_edit=EDIT_MAX_DIST, edit_min_est=NGRAM_MIN_JACCARD
+        ),
         # composite corpus cleaning (quality + dedup + lang + token bounds)
         "corpus_filter": lambda s, d: corpus.corpus_filter(_docs(s, d)),
         "split_contamination": lambda s, d: corpus.split_contamination(
@@ -1372,10 +1376,13 @@ def _catalog() -> dict[str, QueryFn]:
         "decontaminate": lambda s, d: corpus.decontaminate(
             _docs(s, d), eval_pred=F.col("doc_id") % DECONTAM_EVAL_MOD == 0
         ),
+        # n_bits pinned so the static SQL oracle renders the same anchors;
+        # the operator default is auto-sized (bench override = production)
         "semantic_decontaminate": lambda s, d: corpus.semantic_decontaminate(
             _emb(s, d),
             eval_pred=F.col("vec_id") % DECONTAM_EVAL_MOD == 0,
             min_cos=SEM_DECON_MIN_COS,
+            n_bits=dedup.EMBED_LSH_BITS,
         ),
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
@@ -1555,6 +1562,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
             n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
+        ),
+        "dup_families": dedup.dup_families_sql(
+            max_edit=EDIT_MAX_DIST, edit_min_est=NGRAM_MIN_JACCARD
         ),
         "dedup_clusters": dedup.cluster_pairs_sql(
             dedup.minhash_pairs_sql(n=3, min_est=0.5)

@@ -955,16 +955,28 @@ def semantic_decontaminate(
     Recall < 1 by design (a contaminated pair is found iff it shares a
     full bucket code in ≥1 band — the embedding_dup_pairs_lsh coverage
     analysis applies verbatim); every reported cosine is exact.
+
+    ``n_bits=None`` (default) auto-sizes the bucket code to the corpus
+    (the BENCH §5a scaling law): fixed bits make bucket occupancy — and
+    so the verify work — grow with n²; the 100× sweep measured the
+    pinned-3-bit config at 552 s where auto-sizing reads 2^bits from
+    log2(n) and stays linear. The CONTRACT pins n_bits so the static SQL
+    oracle renders identical anchors (the semdedup/dedup_embedding
+    precedent: static knob for the hash gate, auto for production).
     """
     from log_formatter_spark.functions.vectors import dot, with_unit
     from log_formatter_spark.operators.dedup import (
         EMBED_LSH_BANDS,
-        EMBED_LSH_BITS,
+        EMBED_LSH_TARGET_BUCKET,
     )
-    from log_formatter_spark.operators.similarity import anchor_units, bucket_expr
+    from log_formatter_spark.operators.similarity import (
+        anchor_units,
+        auto_bits,
+        bucket_expr,
+    )
 
     if n_bits is None:
-        n_bits = EMBED_LSH_BITS
+        n_bits = auto_bits(emb.count(), EMBED_LSH_TARGET_BUCKET)
     if n_bands is None:
         n_bands = EMBED_LSH_BANDS
     u = with_unit(emb, id_col, vec_col)

@@ -593,11 +593,14 @@ def edit_verified_pairs_sql(
         src=src, n=n, text_col=text_col, id_col=id_col, min_est=min_est
     )
     lev = "levenshtein(na.nt, nb.nt)"
+    # CTE is NOT named "pairs": this SQL nests inside cluster_pairs_sql's
+    # WITH RECURSIVE pairs(...), where a same-named inner CTE binds to the
+    # recursive self-reference instead of shadowing (DuckDB binder)
     return f"""
-WITH pairs AS ({inner}),
+WITH evp AS ({inner}),
 nt AS (SELECT {id_col}, {norm_text_sql(text_col)} AS nt FROM {src})
 SELECT p.doc_a, p.doc_b, p.est_jaccard, {lev} AS edit_dist
-FROM pairs p
+FROM evp p
 JOIN nt na ON p.doc_a = na.{id_col}
 JOIN nt nb ON p.doc_b = nb.{id_col}
 WHERE {lev} <= {max_edit}
@@ -1652,3 +1655,118 @@ def write_band_index_bucketed(
     band_index(corpus, n=n, text_col=text_col, id_col=id_col).write.bucketBy(
         buckets, "band", "bh"
     ).sortBy("band", "bh").mode("overwrite").format("parquet").saveAsTable(table)
+
+
+# --- multi-signal duplicate families ---------------------------------------
+
+
+def dup_families(
+    docs: DataFrame,
+    min_est: float = 0.5,
+    edit_min_est: float = 0.05,
+    max_edit: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-signal duplicate FAMILIES with quality-canonical survivors —
+    the fusion step a production curation pipeline runs after its dedup
+    tiers: exact, MinHash-banded, and edit-verified evidence all vote
+    edges into ONE graph, connected components resolve transitive
+    identity across signals (doc A exact-dups B, B near-dups C → one
+    family), and the survivor per family is the HIGHEST-QUALITY member,
+    not the lowest id (`cluster_pairs`' min-id rule is the right
+    deterministic default for dedup bookkeeping; curation wants to keep
+    the best copy). Output per doc:
+    ``(doc_id, cluster_id, family_size, quality, is_canonical)``.
+
+    Plan shape: the exact tier contributes STAR edges to its group root
+    (a T-member exact group is T-1 edges, never T² pairs — the same
+    reason cluster_id is min-id, linearity under mass duplication); the
+    pair tiers are the banded plans unchanged. Components via
+    :func:`cluster_pairs` (auto minlabel→star). Canonical selection is
+    the preference_pairs discipline: order-free ``max(struct(quality,
+    -id))`` per family — map-side combine, deterministic tie-break to
+    the smallest id on equal quality, no per-family window."""
+    from log_formatter_spark.functions.text import text_stats
+
+    ex = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    roots = ex.where(F.col("dup_rank") == 1).select(
+        "group_key", F.col(id_col).alias("doc_a")
+    )
+    ex_edges = (
+        ex.where(F.col("dup_rank") > 1)
+        .select("group_key", F.col(id_col).alias("doc_b"))
+        .join(roots, "group_key")
+        .select("doc_a", "doc_b")
+    )
+    mh_edges = minhash_pairs(
+        docs, n=3, text_col=text_col, id_col=id_col, min_est=min_est
+    ).select("doc_a", "doc_b")
+    ed_edges = edit_verified_pairs(
+        docs, max_edit=max_edit, n=3, min_est=edit_min_est,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    edges = ex_edges.unionByName(mh_edges).unionByName(ed_edges).distinct()
+    cc = cluster_pairs(docs, edges, id_col=id_col)
+    q = text_stats(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("quality")
+    )
+    base = cc.join(q, id_col)
+    fam = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("family_size"),
+        F.max(F.struct(F.col("quality"), (-F.col(id_col)).alias("nid"))).alias(
+            "_best"
+        ),
+    )
+    return base.join(fam, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "family_size",
+        "quality",
+        (F.col(id_col) == -F.col("_best.nid")).alias("is_canonical"),
+    )
+
+
+def dup_families_sql(
+    src: str = "documents",
+    min_est: float = 0.5,
+    edit_min_est: float = 0.05,
+    max_edit: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`dup_families`: same three edge tiers
+    (set-UNIONed), components via the recursive-CTE reachability oracle,
+    same struct-lexicographic canonical pick."""
+    from log_formatter_spark.functions.text import text_stats_sql
+
+    ex = exact_dedup_sql(src=src, text_col=text_col, id_col=id_col)
+    edges = f"""
+SELECT r.{id_col} AS doc_a, d.{id_col} AS doc_b
+FROM ({ex}) d JOIN ({ex}) r ON d.group_key = r.group_key AND r.dup_rank = 1
+WHERE d.dup_rank > 1
+UNION
+SELECT doc_a, doc_b FROM ({minhash_pairs_sql(src=src, n=3, text_col=text_col, id_col=id_col, min_est=min_est)}) _mh
+UNION
+SELECT doc_a, doc_b FROM ({edit_verified_pairs_sql(src=src, max_edit=max_edit, n=3, min_est=edit_min_est, text_col=text_col, id_col=id_col)}) _ed
+"""
+    cc = cluster_pairs_sql(edges, src=src, id_col=id_col)
+    return f"""
+WITH cc AS ({cc}),
+q AS (
+  SELECT {id_col}, coalesce(quality_score, -1.0) AS quality
+  FROM ({text_stats_sql(src=src, text_col=text_col, id_col=id_col)}) _ts
+),
+base AS (
+  SELECT cc.{id_col}, cc.cluster_id, q.quality
+  FROM cc JOIN q USING ({id_col})
+),
+fam AS (
+  SELECT cluster_id, count(*) AS family_size,
+         max(struct_pack(q := quality, nid := -{id_col})) AS best
+  FROM base GROUP BY cluster_id
+)
+SELECT b.{id_col}, b.cluster_id, f.family_size, b.quality,
+       (b.{id_col} = -((f.best).nid)) AS is_canonical
+FROM base b JOIN fam f USING (cluster_id)
+"""

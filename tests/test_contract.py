@@ -179,6 +179,12 @@ def test_round4_additions_inside_driver_window():
         "streaming_neardup",
         "neardup_indexed",
         "conv_neardup",
+        # round-4b-continued additions (slots 41+ displace r01/r02-graded
+        # entries whose union coverage is already banked)
+        "preference_pairs",
+        "neardup_edit",
+        "semantic_decontaminate",
+        "bloom_membership",
     ]
     window = contract._GATE_ORDER[:50]
     missing = [q for q in r4 if q not in window]
