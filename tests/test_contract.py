@@ -185,6 +185,7 @@ def test_round4_additions_inside_driver_window():
         "neardup_edit",
         "semantic_decontaminate",
         "bloom_membership",
+        "dup_families",
     ]
     window = contract._GATE_ORDER[:50]
     missing = [q for q in r4 if q not in window]
