@@ -108,9 +108,12 @@ FROM ranked WHERE rn = least({k}, n_seen)
 # engines), while this one is built from the same md5-derived hash
 # family as every other sketch here — so the driver's value-hash gate
 # can check BOTH the filter construction and the probe semantics
-# exactly. m bits are packed 32-per-BIGINT word (bit 31 is the largest
-# shift, so every mask stays positive and >> behaves identically in
-# Spark and DuckDB).
+# exactly. m bits are packed _BLOOM_WORD(=32)-per-BIGINT word (bit 31
+# is the largest shift, so every mask stays positive and >> behaves
+# identically in Spark and DuckDB — that positivity argument is WHY the
+# word is 32 and not 64: bit 63 would flip the BIGINT sign and the two
+# engines' >> disagree on negatives). Both the Spark expressions and
+# the DuckDB rendering read the constant, so they cannot drift apart.
 
 _BLOOM_WORD = 32
 
@@ -153,11 +156,12 @@ def bloom_membership(
     ``bloom_hit`` alone and route hits to the exact verifier.
     """
     pos = _bloom_pos_arr(key_col, m, k)
+    w = _BLOOM_WORD
     bloom = (
         corpus_keys.select(F.explode(pos).alias("pos"))
         .select(
-            F.expr("pos DIV 32").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+            F.expr(f"pos DIV {w}").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {w} AS INT))").alias(
                 "m1"
             ),
         )
@@ -169,8 +173,8 @@ def bloom_membership(
         .select(
             id_col,
             key_col,
-            F.expr("pos DIV 32").alias("word"),
-            (F.col("pos") % 32).cast("int").alias("bit"),
+            F.expr(f"pos DIV {w}").alias("word"),
+            (F.col("pos") % w).cast("int").alias("bit"),
         )
         .join(F.broadcast(bloom), "word", "left")
         .select(

@@ -54,7 +54,7 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
 
 
-def with_unit(df, id_col: str, vec_col: str):
+def with_unit(df, id_col: str, vec_col: str, extra: dict | None = None):
     """Add a pre-normalized ``uv`` column (norm computed ONCE per row).
 
     For pairwise cosine workloads this turns each pair into a single
@@ -64,14 +64,27 @@ def with_unit(df, id_col: str, vec_col: str):
     ``transform`` lambda would re-fold it per element. Unit-dot cosines
     are NOT bit-identical to the dot/(|a||b|) form, so any oracle must
     use this same unit-vector formulation (``unit_cte_sql``).
+
+    ``extra`` ({name: Column}) rides additional expressions through the
+    projection, evaluated against the RAW input rows — so a caller's
+    predicate over a column this projection would otherwise drop (e.g.
+    semantic_decontaminate's ``eval_pred`` over a split column) still
+    resolves.
     """
+    extra = extra or {}
     n = norm(F.col(vec_col))
     return (
-        df.select(F.col(id_col), _d(F.col(vec_col)).alias(vec_col), n.alias("_n"))
+        df.select(
+            F.col(id_col),
+            _d(F.col(vec_col)).alias(vec_col),
+            n.alias("_n"),
+            *[c.alias(k) for k, c in extra.items()],
+        )
         .select(
             id_col,
             vec_col,
             F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("uv"),
+            *extra.keys(),
         )
     )
 

@@ -53,24 +53,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.operators.parser import _to_java_regex
+from log_formatter_spark.transcripts import joined_turns, joined_turns_sql
 
 
 def _content_key(canon: Column) -> Column:
-    """Canonical conversation content key: md5 over the collected turn
-    texts joined in ``(turn_idx, text)`` sort order. collect_list order
-    is shuffle-dependent, so turns are collected as structs and
-    array_sort canonicalizes — bit-identical at any parallelism (the
-    transcripts.assemble_conversations trick). The text field rides in
-    the sort key, so duplicate turn_idx values still order
-    deterministically (the SQL renderings tie-break the same way)."""
-    turns = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c"))))
-    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
-    return F.md5(joined)
+    """Canonical conversation content key: md5 over
+    :func:`transcripts.joined_turns` — the ONE shared assembly aggregate
+    (deterministic (turn_idx, text) struct sort at any parallelism), so
+    the exact content key, the near-dup text (``conv_text``), and
+    ``assemble_conversations`` can never drift on the tie-break."""
+    return F.md5(joined_turns(canon))
 
 
 def _content_key_sql(canon_sql: str) -> str:
     """DuckDB rendering of ``_content_key`` (same tie-break)."""
-    return f"md5(string_agg({canon_sql}, chr(10) ORDER BY turn_idx, {canon_sql}))"
+    return f"md5({joined_turns_sql(canon_sql)})"
 
 
 def conv_dedup(
@@ -335,15 +332,10 @@ FROM (
 def conv_text(transcripts: DataFrame, canon: Column | None = None) -> DataFrame:
     """``(conv_id, text)``: each conversation's turns joined with
     newlines in canonical ``(turn_idx, text)`` sort order — the
-    document form conversation-LEVEL near-dup operates on (same
-    array_sort canonicalization as ``_content_key``, kept as text
-    instead of hashed)."""
-    canon = F.col("text") if canon is None else canon
-    turns = F.array_sort(
-        F.collect_list(F.struct(F.col("turn_idx"), canon.alias("c")))
-    )
-    joined = F.array_join(F.transform(turns, lambda s: s.getField("c")), "\n")
-    return transcripts.groupBy("conv_id").agg(joined.alias("text"))
+    document form conversation-LEVEL near-dup operates on (the shared
+    :func:`transcripts.joined_turns` canonicalization ``_content_key``
+    hashes, kept as text instead of hashed)."""
+    return transcripts.groupBy("conv_id").agg(joined_turns(canon).alias("text"))
 
 
 def conv_neardup(
@@ -396,8 +388,7 @@ def conv_neardup_sql(
     return f"""
 SELECT doc_a AS conv_a, doc_b AS conv_b, est_jaccard FROM (
   WITH conv_docs AS (
-    SELECT conv_id,
-           string_agg({canon_sql}, chr(10) ORDER BY turn_idx, {canon_sql}) AS text
+    SELECT conv_id, {joined_turns_sql(canon_sql)} AS text
     FROM {transcripts_cte} GROUP BY conv_id
   ),
   {inner_ctes}

@@ -979,8 +979,13 @@ def semantic_decontaminate(
         n_bits = auto_bits(emb.count(), EMBED_LSH_TARGET_BUCKET)
     if n_bands is None:
         n_bands = EMBED_LSH_BANDS
-    u = with_unit(emb, id_col, vec_col)
-    anchors = anchor_units(u, n_bits * n_bands, id_col=id_col)
+    # eval_pred rides with_unit's projection evaluated against the RAW
+    # input rows, so predicates over columns the unit projection drops
+    # (a split/source column) resolve — same surface as decontaminate.
+    u = with_unit(emb, id_col, vec_col, extra={"_is_eval": eval_pred})
+    anchors = anchor_units(
+        u.select(id_col, vec_col, "uv"), n_bits * n_bands, id_col=id_col
+    )
     band_structs = []
     for j in range(n_bands):
         band_anchors = [(a_id, au) for a_id, au in anchors if a_id // n_bits == j]
@@ -989,7 +994,7 @@ def semantic_decontaminate(
         )
         band_structs.append(F.struct(F.lit(j).alias("band"), bucket.alias("bucket")))
     bands = u.select(
-        F.col(id_col), F.col("uv"), eval_pred.alias("_is_eval"),
+        F.col(id_col), F.col("uv"), F.col("_is_eval"),
         F.explode(F.array(*band_structs)).alias("bb"),
     ).select(
         id_col, "uv", "_is_eval",

@@ -537,6 +537,7 @@ def edit_verified_pairs(
     min_est: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance-verified near-dup pairs: MinHash banding for recall,
     bounded Levenshtein for precision — the verify step templated-spam
@@ -558,10 +559,19 @@ def edit_verified_pairs(
     The verify itself is JVM codegen: ``levenshtein(a, b, max_edit)``
     runs the banded O(max_edit · len) algorithm and returns -1 past the
     bound (never the full O(len²) table), so per-pair cost is capped by
-    the caller's edit budget, not document length."""
-    pairs = minhash_pairs(
-        df, n=n, text_col=text_col, id_col=id_col, min_est=min_est
-    )
+    the caller's edit budget, not document length.
+
+    ``pairs`` lets a caller running several candidate tiers over the
+    same corpus (``dup_families``) pass one precomputed
+    ``minhash_pairs`` result instead of rebuilding signatures + band
+    joins per tier; it is re-filtered to ``min_est`` here, so a shared
+    set computed at a looser threshold stays semantically identical."""
+    if pairs is None:
+        pairs = minhash_pairs(
+            df, n=n, text_col=text_col, id_col=id_col, min_est=min_est
+        )
+    else:
+        pairs = pairs.where(F.col("est_jaccard") >= min_est)
     t = df.select(F.col(id_col), norm_text_expr(text_col).alias("_nt"))
     ta = t.select(F.col(id_col).alias("doc_a"), F.col("_nt").alias("_ta"))
     tb = t.select(F.col(id_col).alias("doc_b"), F.col("_nt").alias("_tb"))
@@ -585,11 +595,14 @@ def edit_verified_pairs_sql(
     min_est: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs_sql: str | None = None,
 ) -> str:
     """DuckDB rendering of :func:`edit_verified_pairs` (same candidates,
     full ``levenshtein`` filtered to the bound — identical distances on
-    every surviving row)."""
-    inner = minhash_pairs_sql(
+    every surviving row). ``pairs_sql`` mirrors the Spark ``pairs``
+    override: any SQL producing (doc_a, doc_b, est_jaccard) already
+    filtered to ``min_est``."""
+    inner = pairs_sql if pairs_sql is not None else minhash_pairs_sql(
         src=src, n=n, text_col=text_col, id_col=id_col, min_est=min_est
     )
     lev = "levenshtein(na.nt, nb.nt)"
@@ -1651,10 +1664,35 @@ def write_band_index_bucketed(
     tests/test_band_index.py::test_bucketed_probe_plan_is_one_sided).
     At 10^12 docs the index side is the 16×-corpus-rows artifact, so
     its shuffle is the one worth designing away; appends go through
-    ``insertInto`` which preserves the bucket spec."""
+    :func:`append_band_index_bucketed` (``insertInto``, which writes
+    through the table's bucket spec — pinned by
+    tests/test_band_index.py::test_bucketed_append_stays_bucket_aligned)."""
     band_index(corpus, n=n, text_col=text_col, id_col=id_col).write.bucketBy(
         buckets, "band", "bh"
     ).sortBy("band", "bh").mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def append_band_index_bucketed(
+    batch: DataFrame,
+    table: str,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """The per-ingest append for the PRODUCTION bucketed layout: extend
+    the catalog table with the accepted batch's band rows via
+    ``insertInto``, which resolves the table's bucket spec and writes
+    the new files bucket-aligned — so the one-sided probe plan keeps
+    holding after every ingest cycle (signatures are deterministic,
+    appending never invalidates history — same invariant as the flat
+    ``write_band_index(mode="append")`` path). ``insertInto`` is
+    POSITION-based, so columns are projected into the table's order
+    explicitly rather than trusting band_index's layout to never
+    change."""
+    cols = batch.sparkSession.table(table).columns
+    band_index(batch, n=n, text_col=text_col, id_col=id_col).select(
+        *cols
+    ).write.format("parquet").insertInto(table)
 
 
 # --- multi-signal duplicate families ---------------------------------------
@@ -1699,12 +1737,21 @@ def dup_families(
         .join(roots, "group_key")
         .select("doc_a", "doc_b")
     )
-    mh_edges = minhash_pairs(
-        docs, n=3, text_col=text_col, id_col=id_col, min_est=min_est
-    ).select("doc_a", "doc_b")
+    # ONE candidate computation serves both pair tiers: signatures +
+    # band self-join at the looser threshold, then the est>=min_est tier
+    # is a pure filter of it (the exchanges below the filters are
+    # identical, so Spark's reuse rule shares the shuffle files — the
+    # signature agg and band join run once, not once per tier).
+    shared = minhash_pairs(
+        docs, n=3, text_col=text_col, id_col=id_col,
+        min_est=min(min_est, edit_min_est),
+    )
+    mh_edges = shared.where(F.col("est_jaccard") >= min_est).select(
+        "doc_a", "doc_b"
+    )
     ed_edges = edit_verified_pairs(
         docs, max_edit=max_edit, n=3, min_est=edit_min_est,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, pairs=shared,
     ).select("doc_a", "doc_b")
     edges = ex_edges.unionByName(mh_edges).unionByName(ed_edges).distinct()
     cc = cluster_pairs(docs, edges, id_col=id_col)
@@ -1741,14 +1788,33 @@ def dup_families_sql(
     from log_formatter_spark.functions.text import text_stats_sql
 
     ex = exact_dedup_sql(src=src, text_col=text_col, id_col=id_col)
+    # Mirror the Spark side's shared candidate set: one minhash_pairs
+    # CTE at the looser threshold feeds both tiers (the signature CTE
+    # text is instantiated once, not once per tier).
+    shared = minhash_pairs_sql(
+        src=src, n=3, text_col=text_col, id_col=id_col,
+        min_est=min(min_est, edit_min_est),
+    )
+    ed = edit_verified_pairs_sql(
+        src=src, max_edit=max_edit, n=3, min_est=edit_min_est,
+        text_col=text_col, id_col=id_col,
+        pairs_sql=f"SELECT * FROM _shared WHERE est_jaccard >= {edit_min_est}",
+    )
+    # The _shared CTE sits inside a derived-table subquery: DuckDB's
+    # RECURSIVE binder (cluster_pairs_sql wraps these edges in WITH
+    # RECURSIVE pairs AS (...)) drops a WITH prefixed directly onto the
+    # recursive body, but scopes one inside a parenthesized subquery.
     edges = f"""
 SELECT r.{id_col} AS doc_a, d.{id_col} AS doc_b
 FROM ({ex}) d JOIN ({ex}) r ON d.group_key = r.group_key AND r.dup_rank = 1
 WHERE d.dup_rank > 1
 UNION
-SELECT doc_a, doc_b FROM ({minhash_pairs_sql(src=src, n=3, text_col=text_col, id_col=id_col, min_est=min_est)}) _mh
-UNION
-SELECT doc_a, doc_b FROM ({edit_verified_pairs_sql(src=src, max_edit=max_edit, n=3, min_est=edit_min_est, text_col=text_col, id_col=id_col)}) _ed
+SELECT doc_a, doc_b FROM (
+  WITH _shared AS ({shared})
+  SELECT doc_a, doc_b FROM _shared WHERE est_jaccard >= {min_est}
+  UNION
+  SELECT doc_a, doc_b FROM ({ed}) _ed
+) _both
 """
     cc = cluster_pairs_sql(edges, src=src, id_col=id_col)
     return f"""

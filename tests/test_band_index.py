@@ -100,3 +100,51 @@ def test_bucketed_probe_plan_is_one_sided(spark, docs, work):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_append_stays_bucket_aligned(spark, docs):
+    """The production ingest cycle on the bucketed layout: append a
+    batch via insertInto, then (a) a probe through the appended table
+    equals the from-scratch rebuild row-for-row, and (b) the plan is
+    STILL one-sided with the index side reading bucketed — i.e. the
+    appended files landed bucket-aligned, not as unbucketed stragglers
+    that would silently break bucket pruning."""
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch1 = docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 0))
+    batch2 = docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 != 0))
+    table = "lfs_test_band_index_append"
+    dedup.write_band_index_bucketed(corpus, table, buckets=4)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dedup.append_band_index_bucketed(batch1, table)
+        got = _pairs(dedup.probe_band_index(batch2, spark.table(table), n=3))
+        rebuilt = _pairs(
+            dedup.incremental_neardup(batch2, corpus.unionByName(batch1), n=3)
+        )
+        assert got == rebuilt
+
+        def plan_of(tbl):
+            probe = dedup.probe_band_index(batch2, spark.table(tbl), n=3)
+            return probe._jdf.queryExecution().executedPlan().toString()
+
+        appended = plan_of(table)
+        assert "Bucketed: true" in appended
+        # appending must not ADD an exchange vs a from-scratch bucketed
+        # rebuild of the same contents (batch-side exchanges — signature
+        # agg, pair distinct — exist in both; an unbucket-aligned append
+        # would surface as an extra index-side shuffle here)
+        rebuilt_tbl = "lfs_test_band_index_rebuilt"
+        dedup.write_band_index_bucketed(
+            corpus.unionByName(batch1), rebuilt_tbl, buckets=4
+        )
+        try:
+            fresh = plan_of(rebuilt_tbl)
+            assert appended.count("Exchange hashpartitioning") == fresh.count(
+                "Exchange hashpartitioning"
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {rebuilt_tbl}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

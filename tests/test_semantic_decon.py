@@ -80,3 +80,30 @@ def test_eval_vectors_never_flagged(emb):
         emb, F.col("vec_id") % EVAL_MOD == 0, min_cos=MIN_COS
     )
     assert got.where(F.col("vec_id") % EVAL_MOD == 0).count() == 0
+
+
+def test_eval_pred_over_non_id_column(emb):
+    """The production call shape: the eval predicate references a column
+    (here ``label``) that the unit projection DROPS — it must still
+    resolve (eval_pred rides with_unit's extra= pass-through against the
+    raw rows) and produce exactly the flags of the equivalent
+    id-membership predicate."""
+    pred = F.col("label") % 5 == 0
+    got = corpus.semantic_decontaminate(emb, pred, min_cos=MIN_COS)
+    eval_ids = [r.vec_id for r in emb.where(pred).select("vec_id").collect()]
+    ref = corpus.semantic_decontaminate(
+        emb, F.col("vec_id").isin(eval_ids), min_cos=MIN_COS
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_probe_plan_is_broadcast_one_sided(emb):
+    """Pin the headline scale property (SURVEY §8): the eval side is
+    BROADCAST into the probe — exactly one BroadcastHashJoin, zero
+    SortMergeJoin, so the train side never shuffles before the verify."""
+    got = corpus.semantic_decontaminate(
+        emb, F.col("vec_id") % EVAL_MOD == 0, min_cos=MIN_COS
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
