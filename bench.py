@@ -95,6 +95,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "bloom_membership",
     "dup_families",
+    "strip_boilerplate",
 ]
 
 

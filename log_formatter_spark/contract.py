@@ -1061,6 +1061,7 @@ _GATE_ORDER = [
     "semantic_decontaminate",
     "bloom_membership",
     "dup_families",
+    "strip_boilerplate",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1385,6 +1386,8 @@ def _catalog() -> dict[str, QueryFn]:
             n_bits=dedup.EMBED_LSH_BITS,
         ),
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
+        # the actionable rewrite form: corpus-common spans REMOVED
+        "strip_boilerplate": lambda s, d: corpus.strip_boilerplate(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
@@ -1601,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
             min_cos=SEM_DECON_MIN_COS,
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
+        "strip_boilerplate": corpus.strip_boilerplate_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),
         "dsir_contrast": olap.dsir_contrast_sql("source = 'src0'"),

@@ -688,6 +688,136 @@ FROM agg
 """
 
 
+def strip_boilerplate(
+    docs: DataFrame,
+    n: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTIONABLE form of :func:`boilerplate_fraction`: rewrite each
+    document with corpus-common n-gram spans REMOVED — the
+    RefinedWeb-style cleanup step (headers, navigation, license blurbs
+    repeat verbatim across docs; stripping them instead of dropping the
+    whole doc keeps the novel prose). A token is removed iff it is
+    covered by ANY n-shingle whose document frequency ≥ ``min_df``.
+    Output ``(doc_id, clean_text, n_tokens, n_kept)`` — one row per
+    input doc (fully-boilerplate docs keep a row with empty clean_text,
+    so downstream length filters see them rather than losing them).
+
+    100 TB plan: shingle df counts (one exchange, map-side partials) →
+    hot-shingle join against the positional shingle stream (AQE
+    skew-join handles a dominating boilerplate shingle) → covered
+    positions explode ONLY for hot-shingle starts (the n× expansion is
+    proportional to boilerplate mass, not corpus size) → left_anti join
+    on (doc, position) → one doc-keyed aggregation whose struct
+    array_sort makes the rebuilt text order bit-identical at any
+    parallelism (the joined_turns discipline). clean_text is
+    token-normalized (lowercased, single spaces) — the same
+    canonicalization every downstream dedup/quality operator applies
+    anyway, so nothing is lost at the pipeline level.
+    """
+    from log_formatter_spark.functions.shingles import (
+        positional_shingles,
+        shingle_df,
+    )
+    from log_formatter_spark.functions.text import tokens
+
+    sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=True)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    pos = positional_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    covered = (
+        pos.join(hot, "shingle")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + F.lit(1)).alias("p"), "tok")
+    kept = tok.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("tok")))),
+            lambda s: s.getField("tok"),
+        ),
+        " ",
+    )
+    agg = kept.groupBy(id_col).agg(
+        rebuilt.alias("clean_text"), F.count(F.lit(1)).alias("n_kept")
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+def strip_boilerplate_sql(
+    src: str = "documents",
+    n: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`strip_boilerplate` — same hot-shingle
+    set, same covered-position expansion, same position-ordered
+    reassembly."""
+    from log_formatter_spark.functions.shingles import (
+        positional_shingles_sql,
+        shingles_sql,
+    )
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH sh AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+hot AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+  WHERE df >= {min_df}
+),
+pos AS ({positional_shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+cov AS (
+  SELECT DISTINCT {id_col}, i + k AS p
+  FROM (SELECT {id_col}, i FROM pos JOIN hot USING (shingle)) _h
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS k) _k
+),
+tok AS (
+  SELECT {id_col}, u.p AS p, u.tok AS tok
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(generate_series(1, len(toks)),
+                                 i -> {{'p': i, 'tok': toks[i]}})) AS u
+    FROM (SELECT {id_col}, {toks} AS toks FROM {src}) _t
+  )
+),
+kept AS (
+  SELECT t.{id_col}, t.p, t.tok
+  FROM tok t ANTI JOIN cov c ON t.{id_col} = c.{id_col} AND t.p = c.p
+),
+agg AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+),
+base AS (SELECT {id_col}, len({toks}) AS n_tokens FROM {src})
+SELECT b.{id_col}, coalesce(a.clean_text, '') AS clean_text, b.n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN agg a USING ({id_col})
+"""
+
+
 # --- cross-source corpus overlap audit -------------------------------------
 
 OVERLAP_MIN_EST = 0.5
