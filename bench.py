@@ -96,6 +96,7 @@ HEADLINE = [
     "bloom_membership",
     "dup_families",
     "strip_boilerplate",
+    "curation_funnel",
 ]
 
 

@@ -1062,6 +1062,7 @@ _GATE_ORDER = [
     "bloom_membership",
     "dup_families",
     "strip_boilerplate",
+    "curation_funnel",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1388,6 +1389,8 @@ def _catalog() -> dict[str, QueryFn]:
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # the actionable rewrite form: corpus-common spans REMOVED
         "strip_boilerplate": lambda s, d: corpus.strip_boilerplate(_docs(s, d)),
+        # stage-by-stage retention report over cumulative curation stages
+        "curation_funnel": lambda s, d: corpus.curation_funnel(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
         "bigram_lm": lambda s, d: olap.bigram_lm(_docs(s, d)),
         "doc_lm_score": lambda s, d: olap.doc_lm_score(_docs(s, d)),
@@ -1605,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "strip_boilerplate": corpus.strip_boilerplate_sql(),
+        "curation_funnel": corpus.curation_funnel_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),
         "dsir_contrast": olap.dsir_contrast_sql("source = 'src0'"),

@@ -818,6 +818,196 @@ FROM base b LEFT JOIN agg a USING ({id_col})
 """
 
 
+# --- curation funnel ---------------------------------------------------------
+
+FUNNEL_STAGES = (
+    "raw",
+    "lang",
+    "quality",
+    "exact_dedup",
+    "neardup",
+    "decontaminated",
+)
+FUNNEL_NEARDUP_MIN_EST = 0.5
+FUNNEL_EVAL_MOD = 23  # the decontaminate contract convention
+
+
+def curation_funnel(
+    docs: DataFrame,
+    keep_lang: str = "en",
+    min_quality: float = MIN_QUALITY,
+    neardup_min_est: float = FUNNEL_NEARDUP_MIN_EST,
+    eval_pred: Column | None = None,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The stage-by-stage retention report a pipeline owner runs before
+    every training mix: how many documents (and how much token mass)
+    survive each CUMULATIVE curation stage —
+
+        raw → lang(metadata) → quality ≥ τ → exact-dedup survivors →
+        near-dup pruned → decontaminated (eval docs + eval-n-gram hits
+        removed)
+
+    Output ``(stage_idx, stage, n_docs, n_tokens)``, six rows. Each
+    stage applies to the PREVIOUS stage's survivors, so consecutive-row
+    deltas are exactly "what this stage cost". Near-dup pruning is the
+    ONE-HOP rule (drop the larger id of every banded MinHash pair with
+    est ≥ ``neardup_min_est`` among the current survivors) — the same
+    candidates as `dedup.minhash_pairs`, deliberately NOT the
+    transitive-closure clustering (`dedup.cluster_pairs` reports
+    families; a funnel wants a cheap deterministic prune whose SQL twin
+    is a NOT EXISTS). Decontamination shingles come from the RAW eval
+    slice (benchmarks don't go through curation), broadcast into the
+    probe — the `decontaminate` asymmetry.
+
+    100 TB plan: stages 0–2 are map-only filters of one scan; stage 3
+    is the exact-dedup window; stage 4 adds the banded pair join; stage
+    5 the broadcast shingle probe. Each stage's plan CONTAINS its
+    prefix, so Spark's exchange reuse serves the shared shuffles; a
+    production run at petabyte scale would checkpoint s3 once instead —
+    the report is six driver-sized aggregate rows either way.
+    ``eval_pred`` must reference carried columns (id/text/lang);
+    default is the ``doc_id % 23`` eval convention.
+    """
+    from log_formatter_spark.functions.shingles import shingle_df
+    from log_formatter_spark.operators.dedup import minhash_pairs
+
+    if eval_pred is None:
+        eval_pred = F.col(id_col) % FUNNEL_EVAL_MOD == 0
+    toks = tokens(F.col(text_col))
+    s0 = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(lang_col),
+        F.size(toks).cast("bigint").alias("_n_tok"),
+    )
+    s1 = s0.where(F.col(lang_col) == keep_lang)
+    q = quality_expr(F.size(toks), tok_chars_expr(toks), _stop_hits(toks, STOPWORDS))
+    s2 = s1.where(q >= F.lit(min_quality))
+    w = Window.partitionBy(F.md5(norm_text_expr(text_col))).orderBy(id_col)
+    s3 = (
+        s2.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dup_b = (
+        minhash_pairs(
+            s3, n=n, text_col=text_col, id_col=id_col, min_est=neardup_min_est
+        )
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    s4 = s3.join(dup_b, id_col, "left_anti")
+    ev_sh = (
+        shingle_df(
+            docs.where(eval_pred), n=n, text_col=text_col, id_col=id_col,
+            distinct=False,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    train = s4.where(~eval_pred)
+    hits = (
+        shingle_df(train, n=n, text_col=text_col, id_col=id_col, distinct=False)
+        .join(F.broadcast(ev_sh), "shingle")
+        .select(id_col)
+        .distinct()
+    )
+    s5 = train.join(hits, id_col, "left_anti")
+    stages = [s0, s1, s2, s3, s4, s5]
+    outs = [
+        df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        for i, (name, df) in enumerate(zip(FUNNEL_STAGES, stages))
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def curation_funnel_sql(
+    src: str = "documents",
+    keep_lang: str = "en",
+    min_quality: float = MIN_QUALITY,
+    neardup_min_est: float = FUNNEL_NEARDUP_MIN_EST,
+    eval_pred_tmpl: str = "({id}) % 23 = 0",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB rendering of :func:`curation_funnel` — same cumulative
+    stages, NOT EXISTS for both prunes (never NOT IN: one NULL key
+    would empty it), quality via text_stats_sql (the established
+    bit-identical twin of quality_expr)."""
+    from log_formatter_spark.functions.shingles import shingles_sql
+    from log_formatter_spark.operators.dedup import minhash_pairs_sql, norm_text_sql
+
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    ev_src = eval_pred_tmpl.format(id=f"{id_col}")
+    carried = f"{id_col}, {text_col}, {lang_col}, n_tok"
+    stage_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage, count(*) AS n_docs,"
+        f" CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM s{i}"
+        for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH s0 AS (
+  SELECT {id_col}, {text_col}, {lang_col},
+         CAST(len({toks}) AS BIGINT) AS n_tok
+  FROM {src}
+),
+s1 AS (SELECT * FROM s0 WHERE {lang_col} = '{keep_lang}'),
+st AS ({text_stats_sql('s1', text_col=text_col, id_col=id_col)}),
+s2 AS (
+  SELECT s1.* FROM s1 JOIN st USING ({id_col})
+  WHERE st.quality_score >= {min_quality!r}
+),
+s3 AS (
+  SELECT {carried} FROM (
+    SELECT s2.*,
+           row_number() OVER (PARTITION BY md5({norm_text_sql(text_col)})
+                              ORDER BY {id_col}) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+prs AS ({minhash_pairs_sql(src='s3', n=n, text_col=text_col, id_col=id_col, min_est=neardup_min_est)}),
+s4 AS (
+  SELECT * FROM s3
+  WHERE NOT EXISTS (SELECT 1 FROM prs WHERE prs.doc_b = s3.{id_col})
+),
+evd AS (SELECT * FROM {src} WHERE {ev_src}),
+evsh AS (
+  SELECT DISTINCT shingle
+  FROM ({shingles_sql('evd', n=n, text_col=text_col, id_col=id_col)}) _e
+),
+tr AS (SELECT * FROM s4 WHERE NOT ({ev_src})),
+hits AS (
+  SELECT DISTINCT {id_col}
+  FROM ({shingles_sql('tr', n=n, text_col=text_col, id_col=id_col)}) _t
+  JOIN evsh USING (shingle)
+),
+s5 AS (
+  SELECT * FROM tr
+  WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.{id_col} = tr.{id_col})
+)
+{stage_rows}
+"""
+
+
 # --- cross-source corpus overlap audit -------------------------------------
 
 OVERLAP_MIN_EST = 0.5

@@ -186,6 +186,8 @@ def test_round4_additions_inside_driver_window():
         "semantic_decontaminate",
         "bloom_membership",
         "dup_families",
+        "strip_boilerplate",
+        "curation_funnel",
     ]
     window = contract._GATE_ORDER[:50]
     missing = [q for q in r4 if q not in window]
