@@ -968,6 +968,49 @@ def _bloom_membership_sql() -> str:
     )
 
 
+def _streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter membership probe against the static corpus
+    filter, hash-checked against the BATCH bloom_membership oracle — the
+    SIXTH streaming ≡ batch equivalence, and the first with ZERO
+    streaming state (append mode, stateless stream-static broadcast
+    probes; micro-batch slicing provably cannot matter, and the driver
+    row proves it anyway). Same harness discipline as the other
+    streaming rows: maxFilesPerTrigger=1 over 2 input files, results
+    round-trip through parquet."""
+    import tempfile
+
+    from log_formatter_spark.streaming.dedup import streaming_bloom_membership
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_sbloom_")
+    docs = _inc_docs(spark, sf_dir)
+    key = F.md5(dedup.norm_text_expr("text"))
+    src = f"{work}/in"
+    docs.where(F.col("doc_id") % 5 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_bloom_membership(
+            stream.select("doc_id", key.alias("key")),
+            docs.where(F.col("doc_id") % 5 != 0).select(key.alias("key")),
+            m=BLOOM_M_BITS,
+            k=BLOOM_K,
+        )
+        .writeStream.format("memory")
+        .queryName("lfs_sbloom_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_sbloom_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _inc_docs(spark, sf_dir)
     return dedup.incremental_dedup(
@@ -1063,6 +1106,7 @@ _GATE_ORDER = [
     "dup_families",
     "strip_boilerplate",
     "curation_funnel",
+    "streaming_bloom",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1298,6 +1342,7 @@ def _catalog() -> dict[str, QueryFn]:
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
         "incremental_dedup": _incremental_dedup,
         "bloom_membership": _bloom_membership,
+        "streaming_bloom": _streaming_bloom,
         "streaming_incremental_dedup": _streaming_incremental_dedup,
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d), n=3
@@ -1549,6 +1594,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_epochs": corpus.mixture_epochs_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),
+        # the streaming twin is stateless, so the BATCH oracle is its
+        # oracle verbatim (same per-(id,key) rows at any slicing)
+        "streaming_bloom": _bloom_membership_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(
             batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
             corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",

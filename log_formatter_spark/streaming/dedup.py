@@ -159,3 +159,89 @@ def streaming_neardup(
         .groupBy("batch_doc", "corpus_doc")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+
+
+def streaming_bloom_membership(
+    batch_stream: DataFrame,
+    corpus_keys: DataFrame,
+    m: int,
+    k: int,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest twin of ``functions.sketch.bloom_membership``:
+    probe an UNBOUNDED stream of keys against the STATIC corpus Bloom
+    filter — and the first streaming twin in this repo with ZERO
+    streaming state. The batch operator answers "probably seen before?"
+    per batch; this answers it per arriving row, append-mode, no
+    watermark, no aggregation state at any corpus size.
+
+    Plan: the m/32-word filter builds batch-side from the static corpus
+    (the same explode + bit_or aggregate as the batch operator —
+    constant-sized REGARDLESS of corpus, which is the whole point of a
+    Bloom filter); the probe is ``k`` stream-static BROADCAST left
+    joins, one per hash position (k is small by design — each join is
+    stateless, so the stream never shuffles and holds no state; contrast
+    ``streaming_incremental_dedup``, whose per-key aggregate state IS
+    its semantics). ``is_member`` attaches via one more stream-static
+    left join against the distinct corpus keys — the exact measurement
+    column, kept so the stream's output is row-for-row the batch
+    operator's (the driver hash gate checks it). The static sides are
+    re-evaluated per micro-batch at gate scale; production materializes
+    the words table once per ingest cycle (it is m/32 rows — driver-
+    sized) exactly as the maintained band index does for near-dup.
+
+    Emits one output row per arriving (id, key) row; the batch twin
+    emits one per distinct (id, key) — identical whenever ingest ids are
+    unique, which the at-least-once dedup upstream (`dedup_stream`)
+    guarantees.
+    """
+    from pyspark.sql import functions as F
+
+    from log_formatter_spark.functions.hashing import md5_60
+    from log_formatter_spark.functions.sketch import _BLOOM_WORD, _bloom_pos_arr
+
+    w = _BLOOM_WORD
+    pos = _bloom_pos_arr(key_col, m, k)
+    bloom = (
+        corpus_keys.select(F.explode(pos).alias("pos"))
+        .select(
+            F.expr(f"pos DIV {w}").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {w} AS INT))").alias(
+                "m1"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m1").alias("mask"))
+    )
+    out = batch_stream.select(F.col(id_col), F.col(key_col))
+    hit_terms = []
+    for i in range(k):
+        p = md5_60(F.concat(F.col(key_col), F.lit(f"|{i}"))) % m
+        out = out.withColumn(f"_p{i}", p)
+        side = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("mask").alias(f"_m{i}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            F.expr(f"_p{i} DIV {w}") == F.col(f"_w{i}"),
+            "left",
+        )
+        hit_terms.append(
+            F.col(f"_m{i}").isNotNull()
+            & (
+                F.expr(f"shiftright(_m{i}, CAST(_p{i} % {w} AS INT))").bitwiseAND(
+                    F.lit(1)
+                )
+                == 1
+            )
+        )
+    bloom_hit = hit_terms[0]
+    for h in hit_terms[1:]:
+        bloom_hit = bloom_hit & h
+    members = corpus_keys.select(key_col).distinct().withColumn("_in", F.lit(True))
+    return out.join(F.broadcast(members), key_col, "left").select(
+        id_col,
+        bloom_hit.alias("bloom_hit"),
+        F.coalesce(F.col("_in"), F.lit(False)).alias("is_member"),
+    )
