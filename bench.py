@@ -97,6 +97,7 @@ HEADLINE = [
     "dup_families",
     "strip_boilerplate",
     "curation_funnel",
+    "classifier_eval",
 ]
 
 

@@ -1107,6 +1107,7 @@ _GATE_ORDER = [
     "strip_boilerplate",
     "curation_funnel",
     "streaming_bloom",
+    "classifier_eval",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1335,6 +1336,8 @@ def _catalog() -> dict[str, QueryFn]:
         # regression, rational link + fixed-point gradient — r3 VERDICT
         # #5); the multi-step trainer is test-gated vs pure Python
         "classifier_train_step": lambda s, d: classifier.train_step(_docs(s, d)),
+        # operating-point report (threshold sweep) on the held-out split
+        "classifier_eval": lambda s, d: classifier.classifier_eval(_docs(s, d)),
         # training-mixture assembly (integer per-source epochs)
         "mixture_epochs": lambda s, d: corpus.mixture_epochs(_docs(s, d)),
         # dedup
@@ -1591,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "classifier_margin": classifier.hashed_margin_sql(),
         "classifier_train_step": classifier.train_step_sql(),
+        "classifier_eval": classifier.classifier_eval_sql(),
         "mixture_epochs": corpus.mixture_epochs_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),

@@ -327,3 +327,119 @@ def train_hashed_logreg(
             _ANCHOR_MEMO.clear()
         _ANCHOR_MEMO[memo_key] = list(w)
     return w
+
+
+EVAL_THRESHOLDS = tuple(range(-4, 5))
+
+
+def classifier_eval(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = EVAL_THRESHOLDS,
+    weights: list[float] | None = None,
+    label: Column | None = None,
+    eval_pred: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Operating-point evaluation of the hashed classifier on a HELD-OUT
+    split — the report that closes the train → score → DECIDE loop (a
+    curation pipeline doesn't ship a margin, it ships a threshold; this
+    is how the threshold gets picked). One row per candidate threshold:
+    ``(threshold, tp, fp, fn, tn, precision, recall)`` over the eval
+    slice (default ``doc_id % 5 == 0``, the held-out convention), label
+    defaulting to the language-ID task the trainer optimizes.
+
+    Plan: the margin fold is the same zero-exchange map-only projection
+    as ``hashed_margin``; each eval doc then explodes against the
+    THRESHOLD literal array (|thresholds|× expansion of the EVAL slice
+    only — never a crossJoin, and eval is the small side by
+    construction) into one |thresholds|-key aggregate with map-side
+    partials. Evaluating 10^9 held-out docs at 9 operating points is
+    one scan + one 9-row shuffle.
+
+    ``weights=None`` keeps the deterministic stand-in model (integer
+    margins — the driver-oracle path); pass
+    ``train_hashed_logreg(...)`` output to evaluate the trained model
+    (same plan, double margins). precision/recall are single IEEE
+    divisions of exact integer counts (NULL when the denominator is 0,
+    identically in both engines).
+    """
+    if eval_pred is None:
+        eval_pred = F.col(id_col) % 5 == 0
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    m = _fold_margin(toks, weights)
+    y = _label_col(label)
+    per_doc = docs.where(eval_pred).select(m.alias("margin"), y.alias("y"))
+    ex = per_doc.select(
+        "margin",
+        "y",
+        F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias(
+            "threshold"
+        ),
+    )
+    pred = F.col("margin") > F.col("threshold")
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = ex.groupBy("threshold").agg(
+        _n(pred & F.col("y")).alias("tp"),
+        _n(pred & ~F.col("y")).alias("fp"),
+        _n(~pred & F.col("y")).alias("fn"),
+        _n(~pred & ~F.col("y")).alias("tn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    )
+
+
+def classifier_eval_sql(
+    src: str = "documents",
+    thresholds: tuple[int, ...] = EVAL_THRESHOLDS,
+    label_sql: str = "lang = 'en'",
+    eval_pred_sql: str = "doc_id % 5 = 0",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`classifier_eval` (stand-in weights) —
+    same integer margin fold as ``train_step_sql``, same explode-agg."""
+    toks = TOKENS_SQL.format(x=f"COALESCE({text_col}, '')")
+    bucket_t = f"({MD5_60_SQL.format(x='t')} % {N_BUCKETS})"
+    weight_t = (
+        MD5_60_SQL.format(x=f"'w:' || CAST({bucket_t} AS VARCHAR)")
+        + f" % {_W_SPAN} - {_W_SHIFT}"
+    )
+    th_list = ", ".join(str(int(t)) for t in thresholds)
+    return f"""
+WITH ev AS (
+  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform({toks}, t -> {weight_t})), (a, b) -> a + b) AS BIGINT)
+           AS margin,
+         ({label_sql}) AS y
+  FROM {src} WHERE {eval_pred_sql}
+),
+ex AS (SELECT margin, y, unnest([{th_list}]) AS threshold FROM ev),
+agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN margin > threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN margin > threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN margin <= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN margin <= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM ex GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+FROM agg
+"""
