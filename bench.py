@@ -98,6 +98,7 @@ HEADLINE = [
     "strip_boilerplate",
     "curation_funnel",
     "classifier_eval",
+    "countmin_hitters",
 ]
 
 

@@ -1108,6 +1108,7 @@ _GATE_ORDER = [
     "curation_funnel",
     "streaming_bloom",
     "classifier_eval",
+    "countmin_hitters",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1346,6 +1347,10 @@ def _catalog() -> dict[str, QueryFn]:
         "incremental_dedup": _incremental_dedup,
         "bloom_membership": _bloom_membership,
         "streaming_bloom": _streaming_bloom,
+        # frequency member of the sketch family (KMV/Bloom/Count-Min)
+        "countmin_hitters": lambda s, d: sketch.countmin_heavy_hitters(
+            _docs(s, d)
+        ),
         "streaming_incremental_dedup": _streaming_incremental_dedup,
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _docs(s, d), n=3
@@ -1601,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin is stateless, so the BATCH oracle is its
         # oracle verbatim (same per-(id,key) rows at any slicing)
         "streaming_bloom": _bloom_membership_sql(),
+        "countmin_hitters": sketch.countmin_heavy_hitters_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(
             batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
             corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",

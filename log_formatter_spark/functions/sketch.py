@@ -238,3 +238,145 @@ mem AS (SELECT DISTINCT {key_col} FROM ck)
 SELECT h.{id_col}, h.bloom_hit, (m.{key_col} IS NOT NULL) AS is_member
 FROM hits h LEFT JOIN mem m USING ({key_col})
 """
+
+
+# --- Count-Min frequency sketch -----------------------------------------------
+#
+# Completes the cross-engine sketch family: KMV answers "how many
+# distinct?", Bloom answers "probably seen?", Count-Min answers "about
+# how often?" — the three questions a 10^12-token ingest job asks
+# without being able to afford the exact tables. Same discipline as the
+# other two: built from the md5_60 hash family so construction AND probe
+# are value-hash-verifiable cross-engine, with the exact count riding
+# along as the measurement column (ann_recall / bloom is_member
+# pattern) so the overestimate is an observable, not a hope.
+
+CM_WIDTH = 256
+CM_DEPTH = 3
+CM_NGRAM = 2
+
+
+def _cm_col(key, r: int, width: int):
+    from log_formatter_spark.functions.hashing import md5_60
+
+    return md5_60(F.concat(F.lit(f"cm{r}:"), key)) % width
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    n: int = CM_NGRAM,
+    min_count: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heavy-hitter n-grams with Count-Min estimates AND measured ground
+    truth: build a ``depth × width`` Count-Min sketch over the corpus
+    n-gram stream (Cormode & Muthukrishnan 2005 — each occurrence
+    increments one counter per row, a point query reads the MIN of its
+    ``depth`` counters, so estimates NEVER undershoot), then emit every
+    n-gram whose exact count ≥ ``min_count`` as
+    ``(shingle, est_count, exact_count)``.
+
+    100 TB plan: the sketch is ``depth × width`` counters REGARDLESS of
+    vocabulary — one groupBy(row, col) aggregate with map-side partials
+    (the depth-explode multiplies the stream ×depth, all map-side), and
+    the counter table BROADCASTS into the probe like the Bloom words.
+    The exact side is the measurement harness (a vocabulary-sized
+    aggregate — the very table the sketch exists to avoid; production
+    probes the sketch alone and this operator is how you validate the
+    width/depth choice before trusting it). est ≥ exact is a theorem;
+    the test suite pins it, plus the estimate-error distribution the
+    width controls."""
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    sh = shingle_df(
+        docs, n=n, text_col=text_col, id_col=id_col, distinct=False
+    ).select("shingle")
+    exact = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    rows = sh.select(
+        "shingle",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    # one column expression per depth row keyed by the SAME salt family
+    # the probe uses — a CASE over r keeps it a single codegen
+    # projection, with the LAST branch as the otherwise so the join key
+    # is provably non-nullable (a nullable computed key makes Catalyst
+    # push isnotnull below the projection and re-evaluate it per row —
+    # the similarity_ivf lesson, guarded by the catalog plan test)
+    def _col_case(key):
+        expr = _cm_col(key, depth - 1, width)
+        for r in range(depth - 2, -1, -1):
+            expr = F.when(F.col("r") == r, _cm_col(key, r, width)).otherwise(expr)
+        return expr
+
+    counters = rows.select(
+        "r", _col_case(F.col("shingle")).alias("col")
+    ).groupBy("r", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cand = exact.where(F.col("exact_count") >= min_count)
+    probe = cand.select(
+        "shingle",
+        "exact_count",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    probe = probe.withColumn("col", _col_case(F.col("shingle"))).join(
+        F.broadcast(counters), ["r", "col"]
+    )
+    return probe.groupBy("shingle", "exact_count").agg(
+        F.min("cnt").alias("est_count")
+    ).select("shingle", "est_count", "exact_count")
+
+
+def countmin_heavy_hitters_sql(
+    src: str = "documents",
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    n: int = CM_NGRAM,
+    min_count: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of :func:`countmin_heavy_hitters` — same salt
+    family, same counters, same min-of-depth probe."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+
+    def cm(r: int, key: str) -> str:
+        return MD5_60_SQL.format(x=f"'cm{r}:' || {key}") + f" % {width}"
+
+    col_case = "CASE " + " ".join(
+        f"WHEN r = {r} THEN {cm(r, 'shingle')}" for r in range(depth - 1)
+    ) + f" ELSE {cm(depth - 1, 'shingle')} END"
+    series = f"(SELECT unnest(generate_series(0, {depth - 1})) AS r) _r"
+    return f"""
+WITH sh AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> {parts})) AS shingle
+  FROM (SELECT {toks} AS toks FROM {src}) _t
+),
+exact AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS exact_count
+  FROM sh GROUP BY shingle
+),
+counters AS (
+  SELECT r, {col_case} AS col, CAST(count(*) AS BIGINT) AS cnt
+  FROM sh CROSS JOIN {series}
+  GROUP BY r, {col_case}
+),
+cand AS (SELECT * FROM exact WHERE exact_count >= {min_count}),
+probe AS (
+  SELECT shingle, exact_count, r, {col_case} AS col
+  FROM cand CROSS JOIN {series}
+)
+SELECT p.shingle, min(c.cnt) AS est_count, p.exact_count
+FROM probe p JOIN counters c ON p.r = c.r AND p.col = c.col
+GROUP BY p.shingle, p.exact_count
+"""

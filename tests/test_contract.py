@@ -190,6 +190,7 @@ def test_round4_additions_inside_driver_window():
         "curation_funnel",
         "streaming_bloom",
         "classifier_eval",
+        "countmin_hitters",
     ]
     window = contract._GATE_ORDER[:50]
     missing = [q for q in r4 if q not in window]
