@@ -99,6 +99,7 @@ HEADLINE = [
     "curation_funnel",
     "classifier_eval",
     "countmin_hitters",
+    "strip_repetition",
 ]
 
 

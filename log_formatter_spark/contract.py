@@ -1109,6 +1109,9 @@ _GATE_ORDER = [
     "streaming_bloom",
     "classifier_eval",
     "countmin_hitters",
+    # --- new in round 4d, PAST the 50-slot driver window (local replica
+    # only this round; the round-5 rotation grades them) ---------------
+    "strip_repetition",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1442,6 +1445,8 @@ def _catalog() -> dict[str, QueryFn]:
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # the actionable rewrite form: corpus-common spans REMOVED
         "strip_boilerplate": lambda s, d: corpus.strip_boilerplate(_docs(s, d)),
+        # the intra-doc twin: later copies of repeated spans removed
+        "strip_repetition": lambda s, d: corpus.strip_repetition(_docs(s, d)),
         # stage-by-stage retention report over cumulative curation stages
         "curation_funnel": lambda s, d: corpus.curation_funnel(_docs(s, d)),
         # n-gram LM statistics + LM-score quality filter
@@ -1666,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "strip_boilerplate": corpus.strip_boilerplate_sql(),
+        "strip_repetition": corpus.strip_repetition_sql(),
         "curation_funnel": corpus.curation_funnel_sql(),
         "bigram_lm": olap.bigram_lm_sql(),
         "doc_lm_score": olap.doc_lm_score_sql(),

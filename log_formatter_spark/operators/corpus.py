@@ -688,6 +688,46 @@ FROM agg
 """
 
 
+def _strip_covered(
+    docs: DataFrame,
+    covered: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared rebuild step for the span-stripping operators: given
+    ``covered`` = (id, p) token positions to remove (1-based), left_anti
+    the positional token stream against it and reassemble the survivors
+    in position order with the deterministic struct-array_sort pattern.
+    One row per input doc (fully-covered docs keep an empty clean_text).
+    Output ``(id, clean_text, n_tokens, n_kept)``."""
+    from log_formatter_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + F.lit(1)).alias("p"), "tok")
+    kept = tok.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("tok")))),
+            lambda s: s.getField("tok"),
+        ),
+        " ",
+    )
+    agg = kept.groupBy(id_col).agg(
+        rebuilt.alias("clean_text"), F.count(F.lit(1)).alias("n_kept")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
 def strip_boilerplate(
     docs: DataFrame,
     n: int = BOILER_NGRAM,
@@ -721,7 +761,6 @@ def strip_boilerplate(
         positional_shingles,
         shingle_df,
     )
-    from log_formatter_spark.functions.text import tokens
 
     sh = shingle_df(docs, n=n, text_col=text_col, id_col=id_col, distinct=True)
     hot = (
@@ -739,29 +778,7 @@ def strip_boilerplate(
         )
         .distinct()
     )
-    tok = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("p0", "tok")
-    ).select(id_col, (F.col("p0") + F.lit(1)).alias("p"), "tok")
-    kept = tok.join(covered, [id_col, "p"], "left_anti")
-    rebuilt = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("tok")))),
-            lambda s: s.getField("tok"),
-        ),
-        " ",
-    )
-    agg = kept.groupBy(id_col).agg(
-        rebuilt.alias("clean_text"), F.count(F.lit(1)).alias("n_kept")
-    )
-    base = docs.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens")
-    )
-    return base.join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        "n_tokens",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-    )
+    return _strip_covered(docs, covered, id_col, text_col)
 
 
 def strip_boilerplate_sql(
@@ -792,6 +809,95 @@ cov AS (
   SELECT DISTINCT {id_col}, i + k AS p
   FROM (SELECT {id_col}, i FROM pos JOIN hot USING (shingle)) _h
   CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS k) _k
+),
+tok AS (
+  SELECT {id_col}, u.p AS p, u.tok AS tok
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(generate_series(1, len(toks)),
+                                 i -> {{'p': i, 'tok': toks[i]}})) AS u
+    FROM (SELECT {id_col}, {toks} AS toks FROM {src}) _t
+  )
+),
+kept AS (
+  SELECT t.{id_col}, t.p, t.tok
+  FROM tok t ANTI JOIN cov c ON t.{id_col} = c.{id_col} AND t.p = c.p
+),
+agg AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+),
+base AS (SELECT {id_col}, len({toks}) AS n_tokens FROM {src})
+SELECT b.{id_col}, coalesce(a.clean_text, '') AS clean_text, b.n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN agg a USING ({id_col})
+"""
+
+
+def strip_repetition(
+    docs: DataFrame,
+    n: int = BOILER_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repetition stripping — the intra-doc twin of
+    :func:`strip_boilerplate` and the actionable form of
+    `text.repetition_score` (the Gopher/MassiveText repetition filters
+    score and DROP repetitive docs; generation loops and scraper
+    stutter often sit inside otherwise-good documents, where stripping
+    the repeats keeps the prose). A token is removed iff covered by an
+    n-shingle whose identical shingle already STARTED earlier in the
+    same document — so the first occurrence of every span survives and
+    later copies vanish. Same output contract as strip_boilerplate:
+    ``(doc_id, clean_text, n_tokens, n_kept)``, one row per input doc.
+
+    100 TB plan: strictly lighter than the cross-doc strip — there is
+    NO corpus-wide table at all. Positional shingles are map-only after
+    the token projection; "seen earlier in this doc" is one window
+    (row_number over (doc, shingle) ordered by position) whose
+    partitioning is doc-local; covered positions explode only for
+    repeated starts; the rebuild is the shared `_strip_covered` step.
+    Every exchange is keyed on the doc id — embarrassingly parallel
+    across documents, no skew surface beyond document length."""
+    from log_formatter_spark.functions.shingles import positional_shingles
+
+    pos = positional_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(id_col, "shingle").orderBy("i")
+    repeated = pos.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") > 1
+    )
+    covered = repeated.select(
+        id_col,
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("p"),
+    ).distinct()
+    return _strip_covered(docs, covered, id_col, text_col)
+
+
+def strip_repetition_sql(
+    src: str = "documents",
+    n: int = BOILER_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`strip_repetition` — same repeated-start
+    window, same covered-position expansion, same reassembly."""
+    from log_formatter_spark.functions.shingles import positional_shingles_sql
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH pos AS ({positional_shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+rep AS (
+  SELECT {id_col}, i FROM (
+    SELECT {id_col}, i,
+           row_number() OVER (PARTITION BY {id_col}, shingle ORDER BY i) AS rn
+    FROM pos
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT {id_col}, i + k AS p
+  FROM rep CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS k) _k
 ),
 tok AS (
   SELECT {id_col}, u.p AS p, u.tok AS tok
