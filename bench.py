@@ -100,6 +100,7 @@ HEADLINE = [
     "classifier_eval",
     "countmin_hitters",
     "strip_repetition",
+    "event_funnel",
 ]
 
 

@@ -1112,6 +1112,7 @@ _GATE_ORDER = [
     # --- new in round 4d, PAST the 50-slot driver window (local replica
     # only this round; the round-5 rotation grades them) ---------------
     "strip_repetition",
+    "event_funnel",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1308,6 +1309,10 @@ def _catalog() -> dict[str, QueryFn]:
         # edits that the exact content key treats as distinct
         "conv_neardup": lambda s, d: conversations.conv_neardup(
             _nd_transcripts(s, d), min_est=0.6
+        ),
+        # ordered conversion funnel over raw events (one user-key shuffle)
+        "event_funnel": lambda s, d: olap.event_funnel(
+            s.read.parquet(f"{d}/events.parquet")
         ),
         "error_burst": lambda s, d: olap.error_burst(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
@@ -1602,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_neardup": TRANSCRIPT_CTES
         + conversations.conv_neardup_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
+        "event_funnel": olap.event_funnel_sql(),
         "classifier_margin": classifier.hashed_margin_sql(),
         "classifier_train_step": classifier.train_step_sql(),
         "classifier_eval": classifier.classifier_eval_sql(),

@@ -638,3 +638,111 @@ FROM (
                RANGE BETWEEN {lo} PRECEDING AND {hi} PRECEDING)
 )
 """
+
+
+# --- ordered conversion funnel -------------------------------------------------
+
+FUNNEL_EVENT_STAGES = ("signup", "view", "click", "purchase")
+
+
+def event_funnel(
+    ev: DataFrame,
+    stages: tuple[str, ...] = FUNNEL_EVENT_STAGES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED conversion funnel — the log-analytics staple the events
+    table exists for: how many users reach each stage IN SEQUENCE
+    (stage k counts a user iff a stage-k event exists at-or-after their
+    first qualifying stage-(k-1) event; an out-of-order click before
+    any view does not convert). Output one row per stage plus the
+    ``all_users`` base: ``(stage_idx, stage, n_users)``.
+
+    Plan: ONE exchange on the user key serves every stage — the first
+    qualifying timestamp of stage k is a conditional ``min`` window over
+    the user partition referencing stage k-1's column, so the chain of
+    |stages| windows shares a single Sort+Exchange (same partitioning,
+    same ordering — Catalyst collapses them into one Window node
+    stack); the final per-user row collapses via groupBy(user) on the
+    same key and the stage counts are one driver-sized aggregate
+    unpivoted with ``stack``. At 10^12 events: one shuffle, no joins,
+    no skew surface beyond the hottest single user.
+
+    NULL user_id/ts rows are excluded up front (a NULL user is not a
+    funnel subject; NULL event times cannot order — and Spark/DuckDB
+    disagree on NULL ordering, the contract null rule).
+    """
+    base = ev.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col), F.col(ts_col), F.col(type_col))
+    w = Window.partitionBy(user_col)
+    cur = base
+    prev_col = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_col is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_col))
+        cur = cur.withColumn(
+            f"_s{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_col = f"_s{i}"
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(f"_s{i}").alias(f"_s{i}") for i in range(len(stages))]
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_all"),
+        *[
+            F.count(f"_s{i}").cast("bigint").alias(f"_c{i}")
+            for i in range(len(stages))
+        ],
+    )
+    stack_args = ["0", "'all_users'", "_all"]
+    for i, stage in enumerate(stages):
+        stack_args += [str(i + 1), f"'{stage}'", f"_c{i}"]
+    return counts.select(
+        F.expr(
+            f"stack({len(stages) + 1}, {', '.join(stack_args)}) "
+            "AS (stage_idx, stage, n_users)"
+        )
+    )
+
+
+def event_funnel_sql(
+    src: str = "events",
+    stages: tuple[str, ...] = FUNNEL_EVENT_STAGES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB rendering of :func:`event_funnel` — same chained
+    conditional-min windows, same sequenced >= rule."""
+    sel = [user_col, ts_col, type_col]
+    layers = [
+        f"SELECT {', '.join(sel)} FROM {src} "
+        f"WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL"
+    ]
+    for i, stage in enumerate(stages):
+        cond = f"{type_col} = '{stage}'"
+        if i > 0:
+            cond += f" AND {ts_col} >= _s{i - 1}"
+        sel = sel + [f"_s{i}"]
+        layers.append(
+            f"SELECT *, min(CASE WHEN {cond} THEN {ts_col} END) "
+            f"OVER (PARTITION BY {user_col}) AS _s{i} FROM ({layers[-1]}) _l{i}"
+        )
+    per_user = (
+        f"SELECT {user_col}, "
+        + ", ".join(f"min(_s{i}) AS _s{i}" for i in range(len(stages)))
+        + f" FROM ({layers[-1]}) _f GROUP BY {user_col}"
+    )
+    rows = [
+        "SELECT 0 AS stage_idx, 'all_users' AS stage, "
+        "CAST(count(*) AS BIGINT) AS n_users FROM pu"
+    ]
+    for i, stage in enumerate(stages):
+        rows.append(
+            f"SELECT {i + 1} AS stage_idx, '{stage}' AS stage, "
+            f"CAST(count(_s{i}) AS BIGINT) AS n_users FROM pu"
+        )
+    return f"WITH pu AS ({per_user})\n" + "\nUNION ALL\n".join(rows)
