@@ -101,6 +101,7 @@ HEADLINE = [
     "countmin_hitters",
     "strip_repetition",
     "event_funnel",
+    "cohort_retention",
 ]
 
 

@@ -1113,6 +1113,7 @@ _GATE_ORDER = [
     # only this round; the round-5 rotation grades them) ---------------
     "strip_repetition",
     "event_funnel",
+    "cohort_retention",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1312,6 +1313,10 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # ordered conversion funnel over raw events (one user-key shuffle)
         "event_funnel": lambda s, d: olap.event_funnel(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        # weekly cohort retention triangle (one user-key shuffle)
+        "cohort_retention": lambda s, d: olap.cohort_retention(
             s.read.parquet(f"{d}/events.parquet")
         ),
         "error_burst": lambda s, d: olap.error_burst(
@@ -1608,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         + conversations.conv_neardup_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "event_funnel": olap.event_funnel_sql(),
+        "cohort_retention": olap.cohort_retention_sql(),
         "classifier_margin": classifier.hashed_margin_sql(),
         "classifier_train_step": classifier.train_step_sql(),
         "classifier_eval": classifier.classifier_eval_sql(),

@@ -746,3 +746,74 @@ def event_funnel_sql(
             f"CAST(count(_s{i}) AS BIGINT) AS n_users FROM pu"
         )
     return f"WITH pu AS ({per_user})\n" + "\nUNION ALL\n".join(rows)
+
+
+def cohort_retention(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the second log-analytics staple next to
+    :func:`event_funnel`: users cohorted by the week of their FIRST
+    event, counted once per calendar week they were active. Output
+    ``(cohort_week, weeks_since, n_users)`` — the retention triangle a
+    product dashboard plots (weeks_since=0 is the cohort size; each
+    later cell is that cohort's survivors).
+
+    Plan: ONE user-key aggregation collects each user's distinct active
+    weeks as a sorted array (collect_set partials combine map-side, so
+    10^12 events collapse to one row per user carrying at most
+    weeks-of-history elements — bounded by the calendar, not the event
+    count); cohort week = the array's first element, weeks explode
+    map-only, and the triangle is one cohort-sized groupBy. A
+    distinct-then-window formulation costs a second user-key exchange
+    because distinct hashes on (user, week) while the window hashes on
+    user alone — measured 3 exchanges vs this plan's 2 (plan-pinned).
+    weeks_since is an exact-integer division (both weeks are
+    Monday-truncated, so the day delta is always a multiple of 7 — the
+    cast is safe under the truncate-vs-round cast divergence rule).
+
+    NULL user/ts rows are excluded up front (not cohort subjects; the
+    cross-engine NULL-ordering rule)."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("timestamp_ntz")
+    per_user = (
+        ev.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col), wk.alias("week"))
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_set("week")).alias("weeks"))
+    )
+    exploded = per_user.select(
+        F.element_at("weeks", 1).alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
+    weeks_since = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("int")
+    return exploded.groupBy(
+        F.col("cohort_week"), weeks_since.alias("weeks_since")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+def cohort_retention_sql(
+    src: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB rendering of :func:`cohort_retention` — same Monday
+    truncation, same exact-multiple-of-7 division."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT {user_col}, date_trunc('week', {ts_col}) AS week
+  FROM {src}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+c AS (
+  SELECT {user_col}, week,
+         min(week) OVER (PARTITION BY {user_col}) AS cohort_week
+  FROM act
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_week, weeks_since
+"""
