@@ -102,6 +102,7 @@ HEADLINE = [
     "strip_repetition",
     "event_funnel",
     "cohort_retention",
+    "tool_transitions",
 ]
 
 

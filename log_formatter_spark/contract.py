@@ -67,6 +67,8 @@ from log_formatter_spark.transcripts import (
     preference_pairs_sql,
     sft_pairs,
     sft_pairs_sql,
+    tool_transitions,
+    tool_transitions_sql,
     transcripts_from_events,
 )
 
@@ -1114,6 +1116,7 @@ _GATE_ORDER = [
     "strip_repetition",
     "event_funnel",
     "cohort_retention",
+    "tool_transitions",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1292,6 +1295,10 @@ def _catalog() -> dict[str, QueryFn]:
         # SFT example mining: (context window, assistant response) pairs
         "sft_pairs": lambda s, d: sft_pairs(transcripts_from_events(s, d)),
         "preference_pairs": lambda s, d: preference_pairs(
+            transcripts_from_events(s, d)
+        ),
+        # first-order tool-handoff Markov chain (agent-ops dashboard)
+        "tool_transitions": lambda s, d: tool_transitions(
             transcripts_from_events(s, d)
         ),
         # conversation-level curation: ts-stripped canonical text (a
@@ -1604,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
+        "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
