@@ -103,6 +103,7 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "tool_transitions",
+    "context_budget",
 ]
 
 

@@ -1117,6 +1117,7 @@ _GATE_ORDER = [
     "event_funnel",
     "cohort_retention",
     "tool_transitions",
+    "context_budget",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1477,6 +1478,10 @@ def _catalog() -> dict[str, QueryFn]:
         # training-sequence preparation
         "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
         "chunk_docs": lambda s, d: packing.chunk_docs(_docs(s, d)),
+        # bounded-context truncation: maximal turn suffix per budget
+        "context_budget": lambda s, d: packing.context_budget(
+            transcripts_from_events(s, d)
+        ),
         # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
@@ -1698,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_contrast": olap.dsir_contrast_sql("source = 'src0'"),
         "pack_sequences": packing.pack_sequences_sql(),
         "chunk_docs": packing.chunk_docs_sql(),
+        "context_budget": TRANSCRIPT_CTES + packing.context_budget_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),

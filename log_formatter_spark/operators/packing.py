@@ -165,3 +165,67 @@ SELECT {id_col}, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        array_to_string(toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {k}], ' ') AS chunk_text
 FROM idx
 """
+
+
+CONTEXT_BUDGET = 96
+
+
+def context_budget(t: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Inference context-window truncation: keep the longest SUFFIX of
+    turns in each conversation whose total whitespace-token count fits
+    ``budget`` — the standard prep step before replaying a transcript
+    into a bounded-context model (most-recent turns win; history
+    falls off the front).
+
+    Suffix-maximality needs no search: the running total over
+    ``turn_idx DESC`` is monotone non-decreasing going backwards
+    (token counts are ≥ 0), so ``suffix_tokens <= budget`` keeps
+    exactly the maximal suffix. A single turn longer than the whole
+    budget drops its entire conversation — by design (the caller's
+    per-turn truncation policy is a different operator; silently
+    splitting a turn would break per-turn text equality, the
+    north-rule row invariant).
+
+    Plan: ONE conv_id exchange for the running total (the shared
+    per-conversation partitioning), then a map-only filter — no joins,
+    no second shuffle; output rows ≤ input rows. At 10¹² turns the
+    shape is identical to turn_latency's.
+
+    Returns ``(conv_id, turn_idx, role, n_tokens, suffix_tokens)`` for
+    kept turns.
+    """
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.select(
+            "conv_id", "turn_idx", "role", n_tok.alias("n_tokens")
+        )
+        .withColumn("suffix_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("suffix_tokens") <= F.lit(budget))
+    )
+
+
+def context_budget_sql(
+    transcripts_cte: str = "transcripts", budget: int = CONTEXT_BUDGET
+) -> str:
+    """DuckDB rendering of :func:`context_budget` (same DESC running
+    total; the windowed-sum HUGEINT promotion cast back to BIGINT)."""
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+SELECT conv_id, turn_idx, role, n_tokens, suffix_tokens FROM (
+  SELECT conv_id, turn_idx, role, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS suffix_tokens
+  FROM (
+    SELECT conv_id, turn_idx, role,
+           CAST(len({toks}) AS BIGINT) AS n_tokens
+    FROM {transcripts_cte}
+  )
+) WHERE suffix_tokens <= {budget}
+"""
