@@ -104,6 +104,7 @@ HEADLINE = [
     "cohort_retention",
     "tool_transitions",
     "context_budget",
+    "sink_agg_merge",
 ]
 
 

@@ -210,6 +210,23 @@ FROM routed GROUP BY route, role, tool, date_trunc('hour', ts)
 )
 
 
+# incremental sink-aggregate maintenance: the corpus/batch boundary is a
+# ts cutoff (the last-ten-days ingest shape on the Jan-2024 fixture);
+# the oracle is the SINGLE-PASS recompute — merge ≡ recompute is the
+# correctness content.
+_AGG_MERGE_CUTOFF = "2024-01-21 00:00:00"
+
+
+def _sink_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_formatter_spark.operators.aggregate import merge_sink_aggregates
+
+    t = transcripts_from_events(spark, sf_dir)
+    cut = F.lit(_AGG_MERGE_CUTOFF).cast("timestamp_ntz")
+    state = full_pipeline(spark, t.where(F.col("ts") < cut))
+    delta = full_pipeline(spark, t.where(F.col("ts") >= cut))
+    return merge_sink_aggregates(state, delta)
+
+
 def _parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     parsed = apply_parser(t, ParserConfig(TRANSCRIPT_PATTERN, "text", engine="arrow"))
@@ -1118,6 +1135,7 @@ _GATE_ORDER = [
     "cohort_retention",
     "tool_transitions",
     "context_budget",
+    "sink_agg_merge",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1210,6 +1228,8 @@ def _catalog() -> dict[str, QueryFn]:
         "transcripts_view": lambda s, d: transcripts_from_events(s, d),
         # core pipeline (SURVEY.md §2)
         "pipeline_counts": _pipeline_counts("arrow"),
+        # maintained per-sink aggregate table: state + delta merge
+        "sink_agg_merge": _sink_agg_merge,
         "pipeline_counts_jvm": _pipeline_counts("jvm"),
         "streaming_pipeline_counts": _streaming_pipeline_counts,
         "streaming_conv_keys": _streaming_conv_keys,
@@ -1520,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_view": TRANSCRIPTS_SQL,
         "pipeline_counts": _PIPELINE_COUNTS_SQL,
+        "sink_agg_merge": _PIPELINE_COUNTS_SQL,
         "pipeline_counts_jvm": _PIPELINE_COUNTS_SQL,
         # streaming final aggregates must hash-match the BATCH oracle —
         # that equality is the exactly-once claim

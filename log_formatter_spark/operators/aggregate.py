@@ -31,3 +31,27 @@ def sink_aggregates(df: DataFrame, route_col: str = ROUTE) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def merge_sink_aggregates(state: DataFrame, delta_agg: DataFrame) -> DataFrame:
+    """Incremental maintenance of the per-sink aggregate table: merge the
+    MAINTAINED state (route, role, tool, hour, n) with a freshly
+    aggregated ingest batch — ``union`` of two already-aggregated frames
+    re-grouped on the sink key. Because ``count`` then ``sum`` is the
+    canonical commutative-monoid decomposition, the merge is provably
+    equal to recomputing :func:`sink_aggregates` over the union of the
+    raw rows (pinned in tests/test_agg_merge.py for arbitrary splits,
+    and by the driver's full-recompute oracle).
+
+    This is the 10^12-turn shape the north rule's aggregate sinks need:
+    the corpus is never re-scanned — the state table is sink-key-sized
+    (|routes|·|roles|·|tools|·hours), the only row-scale work is the
+    delta batch's own parse→route→partial-agg, and the merge's final
+    exchange moves state-sized tuples only. Repeated ingests fold left:
+    merge(merge(state, d1), d2) == recompute(base ∪ d1 ∪ d2).
+    """
+    return (
+        state.unionByName(delta_agg)
+        .groupBy("route", "role", "tool", "hour")
+        .agg(F.sum("n").alias("n"))
+    )
