@@ -105,6 +105,7 @@ HEADLINE = [
     "tool_transitions",
     "context_budget",
     "sink_agg_merge",
+    "rate_anomaly",
 ]
 
 

@@ -1136,6 +1136,7 @@ _GATE_ORDER = [
     "tool_transitions",
     "context_budget",
     "sink_agg_merge",
+    "rate_anomaly",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1320,6 +1321,10 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # first-order tool-handoff Markov chain (agent-ops dashboard)
         "tool_transitions": lambda s, d: tool_transitions(
+            transcripts_from_events(s, d)
+        ),
+        # exact-integer hourly traffic anomaly scoring per tool
+        "rate_anomaly": lambda s, d: olap.rate_anomaly(
             transcripts_from_events(s, d)
         ),
         # conversation-level curation: ts-stripped canonical text (a
@@ -1638,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
+        "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX

@@ -817,3 +817,109 @@ SELECT cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM c GROUP BY cohort_week, weeks_since
 """
+
+
+RATE_Z2 = 9  # squared z threshold: flag buckets beyond 3 sigma
+
+
+def rate_anomaly(
+    t: DataFrame,
+    z2: int = RATE_Z2,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(key, hour) traffic-rate anomaly scoring with EXACT integer
+    statistics — the volume monitor a telemetry pipeline alerts on (a
+    tool whose hourly call count jumps k sigma off its own baseline).
+
+    For each key with hourly counts c over n buckets, S = Σc and
+    Q = Σc²: the squared z-score is (cn − S)²/(nQ − S²) (population
+    variance, denominators cancelled), and the flag is the exact
+    integer comparison ``(cn − S)² > z²·(nQ − S²)`` — no float enters
+    the DECISION, so Spark and DuckDB flag identically; only the
+    reported ``dev_score`` performs one IEEE division on exact
+    operands (the source_drift discipline). Products are widened to
+    decimal(38,0) (HUGEINT in the oracle): c·n and its square wrap
+    int64 beyond ~10⁵ buckets of 10⁹ rows, well inside this type.
+
+    Plan: one map-side-combined (key, hour) aggregate is the only
+    row-scale work; the per-key moment windows run on the aggregated
+    key×hours-sized frame, partitioned by key (never unpartitioned —
+    the BroadcastNestedLoopJoin constant-fold trap). A constant-count
+    key has zero variance → NULL score, never flagged; a single-bucket
+    key likewise (cn − S ≡ 0).
+
+    Output: (key, hour, n_turns, dev_score, is_anomaly) for EVERY
+    bucket — the full scored series, not just the alerts, so the
+    contract hashes the arithmetic everywhere.
+    """
+    dec = "decimal(38,0)"
+    b = (
+        t.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+    )
+    w = Window.partitionBy("key")
+    c = F.col("n_turns").cast(dec)
+    st = b.select(
+        "key",
+        "hour",
+        "n_turns",
+        F.count(F.lit(1)).over(w).cast(dec).alias("_n"),
+        F.sum(c).over(w).alias("_s"),
+        F.sum(c * c).over(w).alias("_q"),
+    )
+    d = F.col("n_turns").cast(dec) * F.col("_n") - F.col("_s")
+    lhs = d * d
+    rhs = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    return st.select(
+        "key",
+        "hour",
+        "n_turns",
+        F.when(rhs > 0, lhs.cast("double") / rhs.cast("double")).alias(
+            "dev_score"
+        ),
+        F.when(rhs > 0, lhs > F.lit(z2).cast(dec) * rhs)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+def rate_anomaly_sql(
+    transcripts_cte: str = "transcripts",
+    z2: int = RATE_Z2,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB rendering of :func:`rate_anomaly` — HUGEINT plays
+    decimal(38,0), same exact-integer flag, same single division."""
+    return f"""
+SELECT key, hour, n_turns,
+       CASE WHEN rhs > 0 THEN CAST(lhs AS DOUBLE) / CAST(rhs AS DOUBLE) END
+         AS dev_score,
+       CASE WHEN rhs > 0 THEN lhs > {z2} * rhs ELSE FALSE END AS is_anomaly
+FROM (
+  SELECT key, hour, n_turns,
+         (CAST(n_turns AS HUGEINT) * _n - _s)
+           * (CAST(n_turns AS HUGEINT) * _n - _s) AS lhs,
+         _n * _q - _s * _s AS rhs
+  FROM (
+    SELECT key, hour, n_turns,
+           CAST(count(*) OVER w AS HUGEINT) AS _n,
+           sum(CAST(n_turns AS HUGEINT)) OVER w AS _s,
+           sum(CAST(n_turns AS HUGEINT) * CAST(n_turns AS HUGEINT)) OVER w
+             AS _q
+    FROM (
+      SELECT {key_col} AS key, date_trunc('hour', {ts_col}) AS hour,
+             CAST(count(*) AS BIGINT) AS n_turns
+      FROM {transcripts_cte}
+      WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+      GROUP BY {key_col}, date_trunc('hour', {ts_col})
+    )
+    WINDOW w AS (PARTITION BY key)
+  )
+)
+"""
