@@ -106,6 +106,7 @@ HEADLINE = [
     "context_budget",
     "sink_agg_merge",
     "rate_anomaly",
+    "key_skew_report",
 ]
 
 

@@ -52,7 +52,11 @@ from log_formatter_spark.operators.labels import stamp_labels
 from log_formatter_spark.operators.ordering import with_turn_order
 from log_formatter_spark.operators.parser import ParserConfig, apply_parser
 from log_formatter_spark.operators.route import ROUTE_SQL, sink_template_route
-from log_formatter_spark.operators.skew import salted_count
+from log_formatter_spark.operators.skew import (
+    key_skew_report,
+    key_skew_report_sql,
+    salted_count,
+)
 from log_formatter_spark.pipeline import (
     PipelineOptions,
     full_pipeline,
@@ -1137,6 +1141,7 @@ _GATE_ORDER = [
     "context_budget",
     "sink_agg_merge",
     "rate_anomaly",
+    "key_skew_report",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1325,6 +1330,10 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # exact-integer hourly traffic anomaly scoring per tool
         "rate_anomaly": lambda s, d: olap.rate_anomaly(
+            transcripts_from_events(s, d)
+        ),
+        # hot-key diagnosis: top-k keys, exact share, salt recommendation
+        "key_skew_report": lambda s, d: key_skew_report(
             transcripts_from_events(s, d)
         ),
         # conversation-level curation: ts-stripped canonical text (a
@@ -1644,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
+        "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
