@@ -107,6 +107,7 @@ HEADLINE = [
     "sink_agg_merge",
     "rate_anomaly",
     "key_skew_report",
+    "term_pmi",
 ]
 
 

@@ -1142,6 +1142,7 @@ _GATE_ORDER = [
     "sink_agg_merge",
     "rate_anomaly",
     "key_skew_report",
+    "term_pmi",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1287,6 +1288,8 @@ def _catalog() -> dict[str, QueryFn]:
             s.read.parquet(f"{d}/events.parquet")
         ),
         "vocab_topk": lambda s, d: olap.vocab_topk(_docs(s, d)),
+        # PMI-lift collocation mining (bigram marginals, no joins)
+        "term_pmi": lambda s, d: olap.term_pmi(_docs(s, d)),
         "distinctive_terms": lambda s, d: olap.distinctive_terms(_docs(s, d)),
         # relational OLAP over the warehouse tables
         "pricing_summary": lambda s, d: analytics.pricing_summary(
@@ -1654,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
         "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
+        "term_pmi": olap.term_pmi_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX

@@ -923,3 +923,118 @@ FROM (
   )
 )
 """
+
+
+PMI_TOP_K = 100
+PMI_MIN_COUNT = 5
+
+
+def term_pmi(
+    docs: DataFrame, k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> DataFrame:
+    """Top-k collocations by PMI lift — the phrase-mining staple
+    (Church & Hanks 1990) for corpus exploration and tokenizer/vocab
+    curation: word pairs that co-occur far above chance.
+
+    Probabilities come from BIGRAM MARGINALS (c_x = Σ_y c_xy,
+    c_y = Σ_x c_xy, N = Σ c_xy), the standard simplification that
+    needs NO unigram table and therefore NO joins: both marginals are
+    window sums over the already-aggregated bigram frame (vocab²-
+    bounded, not corpus-sized), partitioned by w1 / w2. lift =
+    c_xy·N/(c_x·c_y); since N is a positive constant, ranking by the
+    N-free ratio c_xy/(c_x·c_y) yields the identical order — so top-k
+    selects BEFORE N is known, and the 1-row N total then attaches to
+    the k-row result by union + unpartitioned window over k+1 rows
+    (the key_skew_report pattern; a join would constant-fold into the
+    banned BroadcastNestedLoopJoin).
+
+    Every product is exact decimal(38,0) (HUGEINT in the oracle); the
+    two divisions are single IEEE ops on exact operands, so both
+    engines produce bit-identical doubles and therefore the identical
+    top-k; residual double ties break on (w1, w2). ``min_count``
+    suppresses the hapax pairs whose lift is pure noise (PMI's known
+    low-frequency bias). No log is taken — log2 is monotone, so lift
+    ranks identically to PMI and stays transcendental-free (the
+    distinctive_terms discipline).
+    """
+    counts = (
+        _bigram_instances(docs).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_xy")
+        )
+    )
+    dec = "decimal(38,0)"
+    m = counts.withColumn(
+        "n_x", F.sum("n_xy").over(Window.partitionBy("w1"))
+    ).withColumn("n_y", F.sum("n_xy").over(Window.partitionBy("w2")))
+    ratio = F.col("n_xy").cast(dec).cast("double") / (
+        F.col("n_x").cast(dec) * F.col("n_y").cast(dec)
+    ).cast("double")
+    top = (
+        m.where(F.col("n_xy") >= min_count)
+        .withColumn("_r", ratio)
+        .orderBy(F.desc("_r"), "w1", "w2")
+        .limit(k)
+    )
+    tot = counts.agg(F.sum("n_xy").alias("_n_all")).select(
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(None).cast("bigint").alias("n_xy"),
+        F.lit(None).cast("bigint").alias("n_x"),
+        F.lit(None).cast("bigint").alias("n_y"),
+        F.lit(None).cast("double").alias("_r"),
+        "_n_all",
+    )
+    u = top.withColumn("_n_all", F.lit(None).cast("bigint")).unionByName(tot)
+    attached = u.withColumn(
+        "n_all", F.max("_n_all").over(Window.partitionBy())
+    ).where(F.col("w1").isNotNull())
+    lift = (F.col("n_xy").cast(dec) * F.col("n_all").cast(dec)).cast(
+        "double"
+    ) / (F.col("n_x").cast(dec) * F.col("n_y").cast(dec)).cast("double")
+    return attached.select("w1", "w2", "n_xy", "n_x", "n_y", lift.alias("lift"))
+
+
+def term_pmi_sql(
+    src: str = "documents", k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> str:
+    """DuckDB rendering of :func:`term_pmi` — same marginals, same
+    N-free ranking, HUGEINT products, one division per output."""
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+SELECT w1, w2, n_xy, n_x, n_y,
+       CAST(CAST(n_xy AS HUGEINT) * CAST(n_all AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(n_x AS HUGEINT) * CAST(n_y AS HUGEINT) AS DOUBLE)
+         AS lift
+FROM (
+  SELECT w1, w2, n_xy, n_x, n_y,
+         CAST(n_xy AS DOUBLE)
+           / CAST(CAST(n_x AS HUGEINT) * CAST(n_y AS HUGEINT) AS DOUBLE)
+           AS _r
+  FROM (
+    SELECT w1, w2, n_xy,
+           CAST(sum(n_xy) OVER (PARTITION BY w1) AS BIGINT) AS n_x,
+           CAST(sum(n_xy) OVER (PARTITION BY w2) AS BIGINT) AS n_y
+    FROM (
+      SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM (
+        SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
+        FROM (SELECT {toks} AS toks FROM {src})
+      )
+      GROUP BY 1, 2
+    )
+  )
+  WHERE n_xy >= {min_count}
+  ORDER BY _r DESC, w1, w2 LIMIT {k}
+) t, (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM (
+    SELECT count(*) AS cnt
+    FROM (
+      SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
+      FROM (SELECT {toks} AS toks FROM {src})
+    )
+    GROUP BY bg[1], bg[2]
+  )
+) g
+"""
