@@ -108,6 +108,7 @@ HEADLINE = [
     "rate_anomaly",
     "key_skew_report",
     "term_pmi",
+    "error_streaks",
 ]
 
 

@@ -1143,6 +1143,7 @@ _GATE_ORDER = [
     "rate_anomaly",
     "key_skew_report",
     "term_pmi",
+    "error_streaks",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1365,6 +1366,10 @@ def _catalog() -> dict[str, QueryFn]:
             s.read.parquet(f"{d}/events.parquet")
         ),
         "error_burst": lambda s, d: olap.error_burst(
+            transcripts_from_events(s, d), TRANSCRIPT_PATTERN
+        ),
+        # contiguous error-run mining (gaps-and-islands in turn order)
+        "error_streaks": lambda s, d: olap.error_streaks(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
         ),
         "distinct_convs_hourly": _distinct_convs_hourly,
@@ -1658,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
         "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
         "term_pmi": olap.term_pmi_sql(),
+        "error_streaks": TRANSCRIPT_CTES + olap.error_streaks_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX

@@ -1038,3 +1038,70 @@ FROM (
   )
 ) g
 """
+
+
+STREAK_MIN_LEN = 2
+
+
+def error_streaks(
+    t: DataFrame, pattern: str, min_len: int = STREAK_MIN_LEN
+) -> DataFrame:
+    """Maximal runs of consecutive ERROR-level turns per conversation —
+    the gaps-and-islands classic, applied to the failure-cascade signal
+    an agent-ops pipeline pages on (one error is noise; four in a row
+    is an incident). ``error_burst`` counts errors per calendar window;
+    this finds *contiguity* in turn order, which a time window cannot
+    express.
+
+    Island detection: among a conversation's error turns ordered by
+    ``turn_idx``, the key ``turn_idx - row_number()`` is constant
+    exactly within each consecutive run. The level comes from the same
+    regex extraction both engines run (a malformed line extracts no
+    level and cannot join a streak).
+
+    Plan: the ERROR filter applies BEFORE the conversation exchange,
+    so only error rows shuffle (at healthy 10¹²-turn corpora that is
+    a tiny fraction); the run aggregate groups on (conv_id, island) —
+    hash(conv_id) partitioning already clusters it, so Catalyst plans
+    NO second exchange (pinned in tests). Output:
+    ``(conv_id, start_turn, end_turn, streak_len)`` for runs ≥
+    ``min_len``.
+    """
+    from log_formatter_spark.operators.parser import _to_java_regex
+
+    lvl = F.regexp_extract(F.col("text"), _to_java_regex(pattern), 2)
+    err = t.where(lvl == "ERROR").select("conv_id", "turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    isl = err.withColumn("_isl", F.col("turn_idx") - F.row_number().over(w))
+    return (
+        isl.groupBy("conv_id", "_isl")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+        )
+        .where(F.col("streak_len") >= min_len)
+        .select("conv_id", "start_turn", "end_turn", "streak_len")
+    )
+
+
+def error_streaks_sql(
+    parsed_cte: str = "parsed", min_len: int = STREAK_MIN_LEN
+) -> str:
+    """DuckDB rendering of :func:`error_streaks` over the shared parsed
+    CTE (same island key, same strict level equality)."""
+    return f"""
+SELECT conv_id, start_turn, end_turn, streak_len FROM (
+  SELECT conv_id,
+         min(turn_idx) AS start_turn,
+         max(turn_idx) AS end_turn,
+         CAST(count(*) AS BIGINT) AS streak_len
+  FROM (
+    SELECT conv_id, turn_idx,
+           turn_idx - row_number() OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS _isl
+    FROM {parsed_cte} WHERE level = 'ERROR'
+  )
+  GROUP BY conv_id, _isl
+) WHERE streak_len >= {min_len}
+"""
