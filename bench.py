@@ -109,6 +109,7 @@ HEADLINE = [
     "key_skew_report",
     "term_pmi",
     "error_streaks",
+    "zorder_layout",
 ]
 
 

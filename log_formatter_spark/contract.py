@@ -39,6 +39,7 @@ from log_formatter_spark.operators import (
     conversations,
     corpus,
     dedup,
+    layout,
     olap,
     packing,
     retrieval,
@@ -1144,6 +1145,7 @@ _GATE_ORDER = [
     "key_skew_report",
     "term_pmi",
     "error_streaks",
+    "zorder_layout",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1291,6 +1293,10 @@ def _catalog() -> dict[str, QueryFn]:
         "vocab_topk": lambda s, d: olap.vocab_topk(_docs(s, d)),
         # PMI-lift collocation mining (bigram marginals, no joins)
         "term_pmi": lambda s, d: olap.term_pmi(_docs(s, d)),
+        # Z-order layout audit: per-bucket rectangle extents
+        "zorder_layout": lambda s, d: layout.zorder_layout(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
         "distinctive_terms": lambda s, d: olap.distinctive_terms(_docs(s, d)),
         # relational OLAP over the warehouse tables
         "pricing_summary": lambda s, d: analytics.pricing_summary(
@@ -1664,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
         "term_pmi": olap.term_pmi_sql(),
         "error_streaks": TRANSCRIPT_CTES + olap.error_streaks_sql(),
+        "zorder_layout": layout.zorder_layout_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
