@@ -110,6 +110,7 @@ HEADLINE = [
     "term_pmi",
     "error_streaks",
     "zorder_layout",
+    "tool_pagerank",
 ]
 
 

@@ -72,6 +72,8 @@ from log_formatter_spark.transcripts import (
     preference_pairs_sql,
     sft_pairs,
     sft_pairs_sql,
+    tool_pagerank,
+    tool_pagerank_sql,
     tool_transitions,
     tool_transitions_sql,
     transcripts_from_events,
@@ -1146,6 +1148,7 @@ _GATE_ORDER = [
     "term_pmi",
     "error_streaks",
     "zorder_layout",
+    "tool_pagerank",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1336,6 +1339,10 @@ def _catalog() -> dict[str, QueryFn]:
         ),
         # first-order tool-handoff Markov chain (agent-ops dashboard)
         "tool_transitions": lambda s, d: tool_transitions(
+            transcripts_from_events(s, d)
+        ),
+        # PageRank over the tool-handoff graph (exact fixed-point)
+        "tool_pagerank": lambda s, d: tool_pagerank(
             transcripts_from_events(s, d)
         ),
         # exact-integer hourly traffic anomaly scoring per tool
@@ -1667,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
+        "tool_pagerank": TRANSCRIPT_CTES + ",\n" + tool_pagerank_sql(),
         "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
         "term_pmi": olap.term_pmi_sql(),
         "error_streaks": TRANSCRIPT_CTES + olap.error_streaks_sql(),
