@@ -111,6 +111,7 @@ HEADLINE = [
     "error_streaks",
     "zorder_layout",
     "tool_pagerank",
+    "quantile_sample_error",
 ]
 
 

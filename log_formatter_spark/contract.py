@@ -1149,6 +1149,7 @@ _GATE_ORDER = [
     "error_streaks",
     "zorder_layout",
     "tool_pagerank",
+    "quantile_sample_error",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1291,6 +1292,10 @@ def _catalog() -> dict[str, QueryFn]:
             s.read.parquet(f"{d}/events.parquet")
         ),
         "value_quantiles": lambda s, d: olap.value_quantiles(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+        # deterministic sampled quantiles + measured rank error
+        "quantile_sample_error": lambda s, d: olap.quantile_sample_error(
             s.read.parquet(f"{d}/events.parquet")
         ),
         "vocab_topk": lambda s, d: olap.vocab_topk(_docs(s, d)),
@@ -1679,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": olap.term_pmi_sql(),
         "error_streaks": TRANSCRIPT_CTES + olap.error_streaks_sql(),
         "zorder_layout": layout.zorder_layout_sql(),
+        "quantile_sample_error": olap.quantile_sample_error_sql(),
         "conv_dedup": TRANSCRIPT_CTES
         + conversations.conv_dedup_sql(
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX

@@ -1105,3 +1105,133 @@ SELECT conv_id, start_turn, end_turn, streak_len FROM (
   GROUP BY conv_id, _isl
 ) WHERE streak_len >= {min_len}
 """
+
+
+QS_RATE_BITS = 20  # sampling threshold granularity: coin in [0, 2^20)
+QS_RATE = 1.0 / 16
+QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def quantile_sample_error(
+    ev: DataFrame,
+    qs: tuple[float, ...] = QS_QUANTILES,
+    rate: float = QS_RATE,
+) -> DataFrame:
+    """Sampled quantile estimation WITH its measured rank error — the
+    sketch-validation harness for order statistics (the ann_recall
+    pattern: run the cheap estimator and the exact baseline side by
+    side, report the error, let the pipeline decide when the sample
+    suffices). Unlike ``percentile_approx`` (t-digest, not
+    reproducible cross-engine), the estimator here is a DETERMINISTIC
+    md5-coin Bernoulli sample + the same rank-select both engines run
+    — so the whole report is hash-exact, sample included.
+
+    Per (event_type, q): the exact value at rank ceil(q·n); the
+    estimate at rank ceil(q·m) within the hash sample (m = sample
+    size); and the estimate's TRUE rank error in ppm — the selected
+    sample row's full-data row_number against q·10⁶. The coin is md5
+    of event_id (the hash_sample stability discipline: membership
+    never changes as other rows arrive).
+
+    Plan: the exact rank, the sample rank (a conditional running sum),
+    n and m all ride ONE (event_type)-partitioned sort — a single
+    exchange; the per-q selection is one aggregate + a stack unpivot.
+    Scale story: when a group is too hot to sort in full, the sample's
+    sort is rate× smaller and this report states exactly what that
+    costs in rank accuracy.
+    """
+    from log_formatter_spark.functions.hashing import md5_60
+
+    thresh = int(rate * (1 << QS_RATE_BITS))
+    ev = ev.where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    flag = (
+        F.pmod(md5_60(F.col("event_id").cast("string")), F.lit(1 << QS_RATE_BITS))
+        < F.lit(thresh)
+    ).cast("bigint")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        flag.alias("_in"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+        F.sum(flag).over(w).alias("srn"),
+        F.sum(flag).over(cw).alias("m"),
+    )
+    aggs = []
+    for q in qs:
+        tag = int(q * 1_000_000)
+        exact_pick = F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
+        samp_pick = (F.col("_in") == 1) & (
+            F.col("srn") == F.ceil(F.lit(q) * F.col("m"))
+        )
+        aggs += [
+            F.max(F.when(exact_pick, F.col("value"))).alias(f"_ex{tag}"),
+            F.max(F.when(samp_pick, F.col("value"))).alias(f"_ap{tag}"),
+            F.max(F.when(samp_pick, F.col("rn"))).alias(f"_ar{tag}"),
+        ]
+    g = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max("m").alias("m"), *aggs
+    )
+    stack_args = []
+    for q in qs:
+        tag = int(q * 1_000_000)
+        err = f"abs(_ar{tag} * 1000000 div n - {tag})"
+        stack_args += [str(tag), f"_ex{tag}", f"_ap{tag}", err]
+    stacked = g.select(
+        "event_type",
+        "n",
+        "m",
+        F.expr(
+            f"stack({len(qs)}, {', '.join(stack_args)}) "
+            "AS (q_ppm, exact_value, approx_value, err_ppm)"
+        ),
+    )
+    return stacked.select(
+        "event_type", "q_ppm", "n", "m", "exact_value", "approx_value", "err_ppm"
+    )
+
+
+def quantile_sample_error_sql(
+    src: str = "events",
+    qs: tuple[float, ...] = QS_QUANTILES,
+    rate: float = QS_RATE,
+) -> str:
+    """DuckDB rendering of :func:`quantile_sample_error` — same coin,
+    same shared sort, same rank arithmetic."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    thresh = int(rate * (1 << QS_RATE_BITS))
+    coin = MD5_60_SQL.format(x="CAST(event_id AS VARCHAR)")
+    rows = []
+    for q in qs:
+        tag = int(q * 1_000_000)
+        rows.append(
+            f"SELECT event_type, {tag} AS q_ppm, n, m, "
+            f"max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) THEN value END) "
+            "AS exact_value, "
+            f"max(CASE WHEN _in = 1 AND srn = CAST(ceil({q} * m) AS BIGINT) "
+            "THEN value END) AS approx_value, "
+            f"abs(max(CASE WHEN _in = 1 AND srn = CAST(ceil({q} * m) AS BIGINT) "
+            f"THEN rn END) * 1000000 // n - {tag}) AS err_ppm "
+            "FROM ranked GROUP BY event_type, n, m"
+        )
+    return f"""
+WITH base AS (
+  SELECT event_type, value, event_id,
+         CASE WHEN (({coin}) % {1 << QS_RATE_BITS} + {1 << QS_RATE_BITS})
+                   % {1 << QS_RATE_BITS} < {thresh}
+              THEN 1 ELSE 0 END AS _in
+  FROM {src} WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, value, _in,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(_in) OVER w AS BIGINT) AS srn,
+         CAST(sum(_in) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+""" + "\nUNION ALL\n".join(rows)
