@@ -1177,7 +1177,9 @@ def quantile_sample_error(
     stack_args = []
     for q in qs:
         tag = int(q * 1_000_000)
-        err = f"abs(_ar{tag} * 1000000 div n - {tag})"
+        # row_number() is 32-bit: the 100x sweep caught _ar * 10^6
+        # overflowing int under ANSI — widen BEFORE the multiply
+        err = f"abs(cast(_ar{tag} as bigint) * 1000000 div n - {tag})"
         stack_args += [str(tag), f"_ex{tag}", f"_ap{tag}", err]
     stacked = g.select(
         "event_type",
