@@ -112,6 +112,7 @@ HEADLINE = [
     "zorder_layout",
     "tool_pagerank",
     "quantile_sample_error",
+    "conv_protocol",
 ]
 
 

@@ -1150,6 +1150,7 @@ _GATE_ORDER = [
     "zorder_layout",
     "tool_pagerank",
     "quantile_sample_error",
+    "conv_protocol",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1366,6 +1367,10 @@ def _catalog() -> dict[str, QueryFn]:
             transcripts_from_events(s, d),
             canon=F.expr("substr(text, 21)"),
             prefix_turns=CONV_DEDUP_PREFIX,
+        ),
+        # FSM protocol conformance with first-violation position
+        "conv_protocol": lambda s, d: conversations.conv_protocol(
+            transcripts_from_events(s, d)
         ),
         "conv_qa": lambda s, d: conversations.conv_qa(
             transcripts_from_events(s, d), TRANSCRIPT_PATTERN
@@ -1690,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
             "transcripts", canon_sql="substr(text, 21)", prefix_turns=CONV_DEDUP_PREFIX
         ),
         "conv_qa": TRANSCRIPT_CTES + conversations.conv_qa_sql(TRANSCRIPT_PATTERN),
+        "conv_protocol": TRANSCRIPT_CTES + conversations.conv_protocol_sql(),
         "conv_neardup": TRANSCRIPT_CTES
         + conversations.conv_neardup_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),

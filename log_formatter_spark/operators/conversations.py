@@ -394,3 +394,85 @@ SELECT doc_a AS conv_a, doc_b AS conv_b, est_jaccard FROM (
   {inner_ctes}
 )
 """
+
+
+# The canonical agent loop: conversations open with system or user; a
+# user turn hands to the assistant; the assistant answers the user or
+# calls a tool; tools chain or return to the assistant. Part of the
+# operator contract (both engines test the same literal set).
+PROTOCOL_STARTS: tuple[str, ...] = ("system", "user")
+PROTOCOL_EDGES: tuple[tuple[str, str], ...] = (
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "tool"),
+    ("tool", "assistant"),
+)
+
+
+def conv_protocol(
+    t: DataFrame,
+    starts: tuple[str, ...] = PROTOCOL_STARTS,
+    edges: tuple[tuple[str, str], ...] = PROTOCOL_EDGES,
+) -> DataFrame:
+    """Protocol conformance per conversation: does the role sequence
+    follow the allowed-transition FSM (an explicit edge set, not just
+    conv_qa's repeat counting), and if not, where does it first break —
+    the triage signal for corrupted ingestion, interleaved sessions,
+    or agent-harness bugs at corpus scale.
+
+    A turn is a violation iff it is a first turn whose role is not an
+    allowed START, or a later turn whose (prev_role, role) pair is not
+    an allowed EDGE — membership tested on 'prev>role' strings against
+    a literal IN list ('>' cannot occur in a role). One conv_id
+    exchange (the shared per-conversation partitioning), one map-side-
+    combined aggregate; at 10¹² turns this is the turn_latency shape.
+
+    Output: (conv_id, n_turns, n_violations, first_bad_turn NULL when
+    conformant, conforms).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pair = F.concat_ws(">", F.lag("role").over(w), F.col("role"))
+    bad = F.when(
+        F.lag("role").over(w).isNull(), ~F.col("role").isin(*starts)
+    ).otherwise(~pair.isin(*[f"{a}>{b}" for a, b in edges]))
+    x = t.select("conv_id", "turn_idx", bad.alias("bad"))
+    return x.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.min(F.when(F.col("bad"), F.col("turn_idx"))).alias("first_bad_turn"),
+        (F.sum(F.when(F.col("bad"), 1).otherwise(0)) == 0).alias("conforms"),
+    )
+
+
+def conv_protocol_sql(
+    transcripts_cte: str = "transcripts",
+    starts: tuple[str, ...] = PROTOCOL_STARTS,
+    edges: tuple[tuple[str, str], ...] = PROTOCOL_EDGES,
+) -> str:
+    """DuckDB rendering of :func:`conv_protocol` — same literal FSM."""
+    start_list = ", ".join(f"'{s}'" for s in starts)
+    edge_list = ", ".join(f"'{a}>{b}'" for a, b in edges)
+    return f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       min(CASE WHEN bad THEN turn_idx END) AS first_bad_turn,
+       sum(CASE WHEN bad THEN 1 ELSE 0 END) = 0 AS conforms
+FROM (
+  SELECT conv_id, turn_idx,
+         CASE WHEN prev_role IS NULL THEN role NOT IN ({start_list})
+              ELSE (prev_role || '>' || role) NOT IN ({edge_list})
+         END AS bad
+  FROM (
+    SELECT conv_id, turn_idx, role,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role
+    FROM {transcripts_cte}
+  )
+)
+GROUP BY conv_id
+"""
