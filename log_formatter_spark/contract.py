@@ -229,8 +229,14 @@ def _sink_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts_from_events(spark, sf_dir)
     cut = F.lit(_AGG_MERGE_CUTOFF).cast("timestamp_ntz")
+    # NULL-ts rows ride the delta: `< cut` / `>= cut` are NOT
+    # complementary under NULL (validate_events anticipates null_ts
+    # rows), and the oracle's single-pass recompute keeps them in a
+    # NULL hour group — dropping them would fail the hash
     state = full_pipeline(spark, t.where(F.col("ts") < cut))
-    delta = full_pipeline(spark, t.where(F.col("ts") >= cut))
+    delta = full_pipeline(
+        spark, t.where((F.col("ts") >= cut) | F.col("ts").isNull())
+    )
     return merge_sink_aggregates(state, delta)
 
 

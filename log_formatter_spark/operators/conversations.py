@@ -425,13 +425,18 @@ def conv_protocol(
     A turn is a violation iff it is a first turn whose role is not an
     allowed START, or a later turn whose (prev_role, role) pair is not
     an allowed EDGE — membership tested on 'prev>role' strings against
-    a literal IN list ('>' cannot occur in a role). One conv_id
-    exchange (the shared per-conversation partitioning), one map-side-
-    combined aggregate; at 10¹² turns this is the turn_latency shape.
+    a literal IN list ('>' cannot occur in a role). NULL-role turns
+    are excluded up front (the tool_transitions subsequence rule, and
+    an oracle-parity requirement: Spark's concat_ws drops NULLs where
+    SQL's ``||`` nulls out — the two would count NULL turns
+    differently). One conv_id exchange (the shared per-conversation
+    partitioning), one map-side-combined aggregate; at 10¹² turns this
+    is the turn_latency shape.
 
     Output: (conv_id, n_turns, n_violations, first_bad_turn NULL when
     conformant, conforms).
     """
+    t = t.where(F.col("role").isNotNull())
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     pair = F.concat_ws(">", F.lag("role").over(w), F.col("role"))
     bad = F.when(
@@ -471,7 +476,7 @@ FROM (
     SELECT conv_id, turn_idx, role,
            lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
              AS prev_role
-    FROM {transcripts_cte}
+    FROM {transcripts_cte} WHERE role IS NOT NULL
   )
 )
 GROUP BY conv_id

@@ -85,6 +85,12 @@ def normalized_dims(ev: DataFrame, bits: int = Z_BITS) -> DataFrame:
         F.min("_rx"), F.max("_rx"), F.min("_ry"), F.max("_ry")
     ).collect()[0]
     xmin, xmax, ymin, ymax = b[0], b[1], b[2], b[3]
+    if xmin is None:  # empty input: no anchors, no rows (the
+        # empty-input invariant every anchor-collect operator holds)
+        return base.select(
+            F.lit(0).cast("bigint").alias("x"),
+            F.lit(0).cast("bigint").alias("y"),
+        ).limit(0)
 
     def scale(col, lo, hi):
         return F.expr(
@@ -140,11 +146,11 @@ def zorder_layout_sql(
     interleave, same bucket prefix."""
     zexpr = zorder_key_sql("x", "y", bits)
     m = 1 << bits
-    raw = f"""
-    SELECT user_id AS _rx, epoch_us(ts) // 3600000000 AS _ry
-    FROM {src} WHERE user_id IS NOT NULL AND ts IS NOT NULL
-  """
     return f"""
+WITH zraw AS (
+  SELECT user_id AS _rx, epoch_us(ts) // 3600000000 AS _ry
+  FROM {src} WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
 SELECT _z >> {bucket_shift} AS z_bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
        min(x) AS min_user, max(x) AS max_user,
@@ -154,10 +160,10 @@ FROM (
   FROM (
     SELECT ((_rx - b.xmin) * {m}) // (b.xmax - b.xmin + 1) AS x,
            ((_ry - b.ymin) * {m}) // (b.ymax - b.ymin + 1) AS y
-    FROM ({raw}) r, (
+    FROM zraw r, (
       SELECT min(_rx) AS xmin, max(_rx) AS xmax,
              min(_ry) AS ymin, max(_ry) AS ymax
-      FROM ({raw})
+      FROM zraw
     ) b
   )
 )

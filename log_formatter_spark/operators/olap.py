@@ -1003,6 +1003,14 @@ def term_pmi_sql(
 
     toks = TOKENS_SQL.format(x="text")
     return f"""
+WITH pmi_counts AS (
+  SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM (
+    SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
+    FROM (SELECT {toks} AS toks FROM {src})
+  )
+  GROUP BY 1, 2
+)
 SELECT w1, w2, n_xy, n_x, n_y,
        CAST(CAST(n_xy AS HUGEINT) * CAST(n_all AS HUGEINT) AS DOUBLE)
          / CAST(CAST(n_x AS HUGEINT) * CAST(n_y AS HUGEINT) AS DOUBLE)
@@ -1016,26 +1024,12 @@ FROM (
     SELECT w1, w2, n_xy,
            CAST(sum(n_xy) OVER (PARTITION BY w1) AS BIGINT) AS n_x,
            CAST(sum(n_xy) OVER (PARTITION BY w2) AS BIGINT) AS n_y
-    FROM (
-      SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
-      FROM (
-        SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
-        FROM (SELECT {toks} AS toks FROM {src})
-      )
-      GROUP BY 1, 2
-    )
+    FROM pmi_counts
   )
   WHERE n_xy >= {min_count}
   ORDER BY _r DESC, w1, w2 LIMIT {k}
 ) t, (
-  SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM (
-    SELECT count(*) AS cnt
-    FROM (
-      SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS bg
-      FROM (SELECT {toks} AS toks FROM {src})
-    )
-    GROUP BY bg[1], bg[2]
-  )
+  SELECT CAST(sum(n_xy) AS BIGINT) AS n_all FROM pmi_counts
 ) g
 """
 

@@ -64,7 +64,11 @@ def _floor_div(a: Column, b: Column) -> Column:
 
 
 def key_skew_report(
-    df: DataFrame, key: str = "conv_id", k: int = SKEW_TOP_K
+    df: DataFrame,
+    key: str = "conv_id",
+    k: int = SKEW_TOP_K,
+    salt_cols: tuple[str, ...] = ("turn_idx",),
+    n_salts: int = 16,
 ) -> DataFrame:
     """Hot-key diagnosis for a join/aggregation key: the top-k heaviest
     keys with their exact corpus share and the salting factor that
@@ -74,25 +78,34 @@ def key_skew_report(
     units, i.e. how many average-sized pieces it must split into).
 
     Built skew-proof itself (diagnosing skew must not fall victim to
-    it): per-key counts come from :func:`salted_count` (two-stage,
-    hot keys partial-aggregate across salts), top-k is a
+    it): per-key counts are the salted two-stage aggregation (hot keys
+    partial-aggregate across ``n_salts`` sub-keys derived from
+    ``salt_cols``, the :func:`salted_count` scheme generalized to any
+    key — results are exactly plain groupBy counts), top-k is a
     TakeOrderedAndProject over the key-count frame — never a global
     sort — and the corpus totals (1 row) attach to the k-row result by
     union + an unpartitioned window over k+1 rows (a join would
     constant-fold into the banned BroadcastNestedLoopJoin; the window
-    frame here is k+1 rows, not the 10^10-key count frame).
+    frame here is k+1 rows, not the 10^10-key count frame). The union
+    marker row casts NULL to the key's OWN dtype, so non-string keys
+    (``key_skew_report(events, key="user_id", salt_cols=("event_id",))``)
+    work unchanged.
 
     share_ppm and salt_n are exact integer arithmetic in decimal(38,0)
     (n·n_keys exceeds int64 at corpus scale) via :func:`_floor_div`.
     Ties at rank k break on the key value (deterministic at any
     parallelism — the oracle's ORDER BY twin).
     """
-    counts = salted_count(df, key=key).withColumnRenamed("n_turns", "n_rows")
+    salted = df.groupBy(
+        F.col(key), salt_col(n_salts, key, *salt_cols).alias("_salt")
+    ).agg(F.count(F.lit(1)).alias("_partial"))
+    counts = salted.groupBy(key).agg(F.sum("_partial").alias("n_rows"))
+    ktype = dict(counts.dtypes)[key]
     top = counts.orderBy(F.desc("n_rows"), F.col(key)).limit(k)
     tot = counts.agg(
         F.sum("n_rows").alias("_tot"), F.count(F.lit(1)).alias("_nk")
     ).select(
-        F.lit(None).cast("string").alias(key),
+        F.lit(None).cast(ktype).alias(key),
         F.lit(None).cast("bigint").alias("n_rows"),
         "_tot",
         "_nk",

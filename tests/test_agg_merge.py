@@ -17,8 +17,11 @@ from log_formatter_spark.transcripts import transcripts_from_events
 
 def _rows(df):
     return sorted(
-        (r["route"], r["role"], r["tool"], r["hour"], r["n"])
-        for r in df.collect()
+        (
+            (r["route"], r["role"], r["tool"], r["hour"], r["n"])
+            for r in df.collect()
+        ),
+        key=repr,  # a NULL hour group must still sort (None vs datetime)
     )
 
 
@@ -88,3 +91,20 @@ def test_final_exchange_is_state_sized(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*\n([^\n]*)", plan):
         nxt = m.group(1)
         assert "Scan parquet" not in nxt, "raw-row exchange in merge plan"
+
+
+def test_null_ts_rows_ride_the_delta(spark, sf_dir):
+    """`< cut` / `>= cut` are not complementary under NULL; the merge
+    must keep NULL-ts rows (the recompute oracle keeps them under a
+    NULL hour group) — the code-review finding, now pinned."""
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "ts",
+        F.when(F.col("turn_idx") % 17 == 3, None).otherwise(F.col("ts")),
+    )
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    state = full_pipeline(spark, t.where(F.col("ts") < cut))
+    delta = full_pipeline(
+        spark, t.where((F.col("ts") >= cut) | F.col("ts").isNull())
+    )
+    merged = merge_sink_aggregates(state, delta)
+    assert _rows(merged) == _rows(full_pipeline(spark, t))

@@ -73,3 +73,22 @@ def test_driver_view_split(spark, sf_dir):
             assert 0 <= r["first_bad_turn"] < r["n_turns"]
         else:
             assert r["first_bad_turn"] is None
+
+
+def test_null_role_excluded_subsequence(spark):
+    """NULL-role turns neither emit nor break adjacency (oracle-parity
+    rule: Spark concat_ws drops NULLs where SQL || nulls out — the two
+    engines would otherwise disagree)."""
+    rows = [
+        ("n", 0, "user"), ("n", 1, None), ("n", 2, "assistant"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, "x", "bash", _TS) for (c, i, r) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    out = {r["conv_id"]: r for r in conversations.conv_protocol(df).collect()}
+    r = out["n"]
+    # user -> assistant over the role-bearing subsequence: conformant
+    assert r["conforms"] is True
+    assert r["n_turns"] == 2  # the NULL turn is not counted

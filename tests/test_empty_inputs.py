@@ -135,3 +135,53 @@ def test_round3c_operators_on_empty_input(spark, empty_docs, empty_transcripts):
         == 0
     )
     assert corpus.boilerplate_fraction(empty_docs).count() == 0
+
+
+def test_round4d_operators_on_empty_input(spark, sf_dir, empty_transcripts):
+    """The ten round-4d operators under the limit(0) probe (the
+    code-review finding: zorder's anchor collect crashed on empties)."""
+    from log_formatter_spark.operators import conversations, layout, olap, packing, skew
+    from log_formatter_spark.operators.aggregate import merge_sink_aggregates
+    from log_formatter_spark.transcripts import (
+        TRANSCRIPT_PATTERN,
+        tool_pagerank,
+        tool_transitions,
+    )
+
+    empty_ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(0)
+    outs = [
+        tool_transitions(empty_transcripts),
+        tool_pagerank(empty_transcripts),
+        packing.context_budget(empty_transcripts),
+        olap.rate_anomaly(empty_transcripts),
+        olap.error_streaks(empty_transcripts, TRANSCRIPT_PATTERN),
+        conversations.conv_protocol(empty_transcripts),
+        skew.key_skew_report(empty_transcripts),
+        olap.term_pmi(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)),
+        layout.zorder_layout(empty_ev),
+        layout.normalized_dims(empty_ev),
+        olap.quantile_sample_error(empty_ev),
+        merge_sink_aggregates(
+            full_pipeline(spark, empty_transcripts),
+            full_pipeline(spark, empty_transcripts),
+        ),
+    ]
+    for out in outs:
+        assert out.count() == 0
+        assert out.columns  # stable schema
+
+
+def test_key_skew_report_generic_key(spark, sf_dir):
+    """Non-string key + non-transcript salt columns (the code-review
+    genericity finding)."""
+    from log_formatter_spark.operators import skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep = skew.key_skew_report(ev, key="user_id", salt_cols=("event_id",), k=5)
+    rows = rep.collect()
+    assert rows
+    plain = dict(
+        (r["user_id"], r["count"]) for r in ev.groupBy("user_id").count().collect()
+    )
+    for r in rows:
+        assert r["n_rows"] == plain[r["user_id"]]
