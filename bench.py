@@ -113,6 +113,7 @@ HEADLINE = [
     "tool_pagerank",
     "quantile_sample_error",
     "conv_protocol",
+    "streaming_tool_transitions",
 ]
 
 

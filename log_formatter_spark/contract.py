@@ -532,6 +532,48 @@ def _streaming_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_final_aggregates(spark, f"{work}/out")
 
 
+def _streaming_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming tool-handoff pairs, batch-aggregated and
+    hash-checked against the SAME DuckDB oracle as the batch
+    ``tool_transitions`` — the SIXTH streaming ≡ batch equivalence
+    shipped as a driver row, and the first through
+    ``applyInPandasWithState`` (a transition straddling a micro-batch
+    boundary exists in neither batch alone; per-conversation state
+    carries the last tool across triggers).
+
+    The fixture writes TWO turn-range files and feeds them one per
+    trigger (maxFilesPerTrigger=1), so every conversation's boundary
+    pair can only come from carried state — a single-trigger run would
+    not prove statefulness (the d54ec7c one-boundary gate-budget
+    discipline). Pair rows round-trip through parquet; the final
+    aggregation is the shared ``transition_counts`` definition."""
+    import tempfile
+
+    from log_formatter_spark.streaming.job import stream_transcripts
+    from log_formatter_spark.streaming.transitions import streaming_tool_pairs
+    from log_formatter_spark.transcripts import transition_counts
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_streamtt_")
+    t = transcripts_from_events(spark, sf_dir)
+    src = f"{work}/in"
+    # sequential single-file writes: the file source processes files in
+    # modification-time order, so trigger 1 = early turns, trigger 2 =
+    # late turns (the operator asserts per-conv order and would raise)
+    t.where(F.col("turn_idx") < 30).coalesce(1).write.parquet(src)
+    t.where(F.col("turn_idx") >= 30).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        streaming_tool_pairs(stream_transcripts(spark, src, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", f"{work}/pairs")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return transition_counts(spark.read.parquet(f"{work}/pairs"))
+
+
 KAFKA_CORRUPT_EVERY = 20
 
 
@@ -1157,6 +1199,7 @@ _GATE_ORDER = [
     "tool_pagerank",
     "quantile_sample_error",
     "conv_protocol",
+    "streaming_tool_transitions",
     # --- block 2: graded only in r01/r02, cost-ascending (entries past
     # slot 50 are union-covered; see the window-math note above) -------
     "regional_revenue",
@@ -1353,6 +1396,8 @@ def _catalog() -> dict[str, QueryFn]:
         "tool_transitions": lambda s, d: tool_transitions(
             transcripts_from_events(s, d)
         ),
+        # stateful streaming pairs ≡ batch transitions (6th equivalence)
+        "streaming_tool_transitions": _streaming_tool_transitions,
         # PageRank over the tool-handoff graph (exact fixed-point)
         "tool_pagerank": lambda s, d: tool_pagerank(
             transcripts_from_events(s, d)
@@ -1689,6 +1734,9 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
+        # the streaming pair stream aggregates to the SAME report —
+        # one oracle serves both (the streaming ≡ batch contract)
+        "streaming_tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         "rate_anomaly": TRANSCRIPT_CTES + olap.rate_anomaly_sql(),
         "tool_pagerank": TRANSCRIPT_CTES + ",\n" + tool_pagerank_sql(),
         "key_skew_report": TRANSCRIPT_CTES + key_skew_report_sql("transcripts"),
