@@ -113,7 +113,6 @@ HEADLINE = [
     "tool_pagerank",
     "quantile_sample_error",
     "conv_protocol",
-    "streaming_tool_transitions",
 ]
 
 
