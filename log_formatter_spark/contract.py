@@ -556,11 +556,18 @@ def _streaming_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lfs_contract_streamtt_")
     t = transcripts_from_events(spark, sf_dir)
     src = f"{work}/in"
-    # sequential single-file writes: the file source processes files in
-    # modification-time order, so trigger 1 = early turns, trigger 2 =
-    # late turns (the operator asserts per-conv order and would raise)
-    t.where(F.col("turn_idx") < 30).coalesce(1).write.parquet(src)
-    t.where(F.col("turn_idx") >= 30).coalesce(1).write.mode("append").parquet(src)
+    # the file source processes files in modification-time order, so
+    # trigger 1 must be the early turns (the operator asserts per-conv
+    # order and would raise); write_ordered_slices pins strictly
+    # increasing mtimes — sequential writes can TIE on coarse-mtime
+    # filesystems and deliver late-file-first (ADVICE r4)
+    from log_formatter_spark.streaming.job import write_ordered_slices
+
+    write_ordered_slices(
+        src,
+        t.where(F.col("turn_idx") < 30),
+        t.where(F.col("turn_idx") >= 30),
+    )
     q = (
         streaming_tool_pairs(stream_transcripts(spark, src, max_files_per_trigger=1))
         .writeStream.format("parquet")

@@ -55,10 +55,19 @@ def zorder_key_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-# integer hour index: `div` on bigint, never a double division (a float
-# quotient near an hour boundary could floor differently across
-# engines; epoch_us div is exact in both)
-_RAW_Y_EXPR = "unix_micros(cast(ts as timestamp_ltz)) div 3600000000"
+# integer hour index with exact FLOOR semantics, never a double
+# division (a float quotient near an hour boundary could round
+# differently across engines). Plain `div`/`//` truncate toward zero
+# in BOTH engines (measured: -5400s -> hour -1 in each), so they agree
+# — but truncation merges the two hours straddling the epoch into
+# index 0 and is an engine-version sensitivity; floor via the exact
+# integer identity (a - pmod(a, b)) div b costs nothing and gives the
+# true hour index for pre-1970 timestamps too (ADVICE r4).
+_RAW_Y_EXPR = (
+    "(unix_micros(cast(ts as timestamp_ltz))"
+    " - pmod(unix_micros(cast(ts as timestamp_ltz)), 3600000000))"
+    " div 3600000000"
+)
 
 
 def normalized_dims(ev: DataFrame, bits: int = Z_BITS) -> DataFrame:
@@ -93,9 +102,16 @@ def normalized_dims(ev: DataFrame, bits: int = Z_BITS) -> DataFrame:
         ).limit(0)
 
     def scale(col, lo, hi):
+        # widen to decimal(38,0) before the multiply: (v - min) * 2^bits
+        # overflows int64 once the dim spans > 2^(63-bits) (snowflake-
+        # style ids do; ADVICE r4), and ANSI/non-ANSI disagree on how it
+        # fails. The quotient is a non-negative exact integer, so the
+        # skew._floor_div identity (n - n % d) / d casts back exactly.
+        span1 = hi - lo + 1  # exact python int
+        num = f"(cast({col} as decimal(38,0)) - {lo}) * {1 << bits}"
         return F.expr(
-            f"(({col} - {lo}) * {1 << bits}) div ({hi - lo + 1})"
-        ).cast("bigint")
+            f"cast((({num}) - ({num}) % {span1}) / {span1} as bigint)"
+        )
 
     return base.select(
         scale("_rx", xmin, xmax).alias("x"),
@@ -148,7 +164,10 @@ def zorder_layout_sql(
     m = 1 << bits
     return f"""
 WITH zraw AS (
-  SELECT user_id AS _rx, epoch_us(ts) // 3600000000 AS _ry
+  SELECT user_id AS _rx,
+         (epoch_us(ts)
+          - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+         // 3600000000 AS _ry
   FROM {src} WHERE user_id IS NOT NULL AND ts IS NOT NULL
 )
 SELECT _z >> {bucket_shift} AS z_bucket,
@@ -158,8 +177,10 @@ SELECT _z >> {bucket_shift} AS z_bucket,
 FROM (
   SELECT x, y, {zexpr} AS _z
   FROM (
-    SELECT ((_rx - b.xmin) * {m}) // (b.xmax - b.xmin + 1) AS x,
-           ((_ry - b.ymin) * {m}) // (b.ymax - b.ymin + 1) AS y
+    SELECT CAST(((CAST(_rx AS HUGEINT) - b.xmin) * {m})
+                // (CAST(b.xmax AS HUGEINT) - b.xmin + 1) AS BIGINT) AS x,
+           CAST(((CAST(_ry AS HUGEINT) - b.ymin) * {m})
+                // (CAST(b.ymax AS HUGEINT) - b.ymin + 1) AS BIGINT) AS y
     FROM zraw r, (
       SELECT min(_rx) AS xmin, max(_rx) AS xmax,
              min(_ry) AS ymin, max(_ry) AS ymax

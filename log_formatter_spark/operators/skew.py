@@ -86,15 +86,19 @@ def key_skew_report(
     sort — and the corpus totals (1 row) attach to the k-row result by
     union + an unpartitioned window over k+1 rows (a join would
     constant-fold into the banned BroadcastNestedLoopJoin; the window
-    frame here is k+1 rows, not the 10^10-key count frame). The union
-    marker row casts NULL to the key's OWN dtype, so non-string keys
-    (``key_skew_report(events, key="user_id", salt_cols=("event_id",))``)
-    work unchanged.
+    frame here is k+1 rows, not the 10^10-key count frame). The totals
+    row is tagged with a dedicated boolean ``_marker`` column — never a
+    NULL key — so a GENUINE NULL-key group (the archetypal hot key:
+    every dropped/anonymous id collapses onto it) survives into the
+    report instead of being filtered out with the marker. Non-string
+    keys (``key_skew_report(events, key="user_id",
+    salt_cols=("event_id",))``) work unchanged.
 
     share_ppm and salt_n are exact integer arithmetic in decimal(38,0)
     (n·n_keys exceeds int64 at corpus scale) via :func:`_floor_div`.
-    Ties at rank k break on the key value (deterministic at any
-    parallelism — the oracle's ORDER BY twin).
+    Ties at rank k break on the key value with NULLS FIRST on both
+    engines (Spark's ascending default; the oracle spells it) —
+    deterministic at any parallelism.
     """
     salted = df.groupBy(
         F.col(key), salt_col(n_salts, key, *salt_cols).alias("_salt")
@@ -109,19 +113,21 @@ def key_skew_report(
         F.lit(None).cast("bigint").alias("n_rows"),
         "_tot",
         "_nk",
+        F.lit(True).alias("_marker"),
     )
     u = top.select(
         key,
         "n_rows",
         F.lit(None).cast("bigint").alias("_tot"),
         F.lit(None).cast("bigint").alias("_nk"),
+        F.lit(False).alias("_marker"),
     ).unionByName(tot)
     w = Window.partitionBy()
     dec = "decimal(38,0)"
     attached = (
         u.withColumn("total_rows", F.max("_tot").over(w))
         .withColumn("n_keys", F.max("_nk").over(w))
-        .where(F.col(key).isNotNull())
+        .where(~F.col("_marker"))
     )
     n = F.col("n_rows").cast(dec)
     t = F.col("total_rows").cast(dec)
@@ -153,7 +159,7 @@ SELECT t.{key}, t.n_rows, g.total_rows, g.n_keys,
 FROM (
   SELECT {key}, CAST(count(*) AS BIGINT) AS n_rows
   FROM {src_cte} GROUP BY {key}
-  ORDER BY n_rows DESC, {key} LIMIT {k}
+  ORDER BY n_rows DESC, {key} NULLS FIRST LIMIT {k}
 ) t, (
   SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
          CAST(count(*) AS BIGINT) AS n_keys

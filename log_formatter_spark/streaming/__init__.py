@@ -9,6 +9,7 @@ from log_formatter_spark.streaming.job import (
     read_routed_stream_output,
     read_final_aggregates,
     streaming_hourly_counts,
+    write_ordered_slices,
 )
 from log_formatter_spark.streaming.ledger import MetricsLedger, read_ledger
 from log_formatter_spark.streaming.state import track_conversations
@@ -21,6 +22,7 @@ __all__ = [
     "read_routed_stream_output",
     "read_final_aggregates",
     "streaming_hourly_counts",
+    "write_ordered_slices",
     "MetricsLedger",
     "read_ledger",
 ]

@@ -65,6 +65,36 @@ def stream_transcripts(
     return r.parquet(src_dir)
 
 
+def write_ordered_slices(path: str, *slices: DataFrame) -> None:
+    """Write DataFrame slices into ``path`` as sequential single-file
+    parquet appends with STRICTLY increasing modification times pinned
+    on each slice's data files (10 s apart, via ``os.utime``).
+
+    The file stream source feeds files to triggers in mtime order.
+    Sequential writes usually produce that order for free, but on
+    filesystems and object stores with coarse mtime granularity two
+    back-to-back writes can TIE — the source may then deliver the late
+    slice first, and order-asserting stateful operators (e.g.
+    streaming_tool_pairs) raise an environment-sensitive flake
+    (ADVICE r4). Every multi-slice streaming fixture goes through this
+    helper so the intended trigger order is explicit, not incidental.
+    """
+    import glob
+    import time
+
+    seen: set[str] = set()
+    groups: list[set[str]] = []
+    for df in slices:
+        df.coalesce(1).write.mode("append").parquet(path)
+        files = set(glob.glob(os.path.join(path, "*.parquet"))) - seen
+        seen |= files
+        groups.append(files)
+    base = time.time() - 10.0 * len(groups)
+    for i, files in enumerate(groups):
+        for f in files:
+            os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+
+
 def _routed_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "routed")
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from log_formatter_spark.operators import skew
 from log_formatter_spark.transcripts import transcripts_from_events
 
@@ -63,6 +65,22 @@ def test_matches_plain_counts_on_driver_view(spark, sf_dir):
             r["salt_n"]
             == (r["n_rows"] * len(plain) + total - 1) // total
         )
+
+
+def test_null_key_group_survives(spark):
+    # A genuine NULL-key group is the archetypal hot key (every
+    # anonymous/dropped id collapses onto it) — the totals marker row
+    # must not take it down with it (ADVICE r4: marker was NULL-keyed).
+    t = _t(spark, {"a": 5, "b": 5}).withColumn(
+        "conv_id",
+        F.when(F.col("turn_idx") < 3, None).otherwise(F.col("conv_id")),
+    )
+    rows = skew.key_skew_report(t, k=3).collect()
+    by_key = {r["conv_id"]: r for r in rows}
+    assert None in by_key  # 6 NULL rows = the hottest key
+    assert by_key[None]["n_rows"] == 6
+    assert by_key[None]["total_rows"] == 10
+    assert by_key[None]["n_keys"] == 3
 
 
 def test_totals_attach_without_bnlj(spark, sf_dir):

@@ -35,12 +35,10 @@ def test_idle_conversations_emit_once_with_folded_state(spark, tmp_path):
     src = str(tmp_path / "in")
     # two files -> two micro-batches, so A's state folds across batches:
     # A turns 0-1 + B turn 0 in file 1, the rest in file 2
-    df.where("(conv_id = 'A' AND turn_idx < 2) OR (conv_id = 'B' AND turn_idx = 0)").coalesce(
-        1
-    ).write.mode("overwrite").parquet(src)
-    df.where("NOT ((conv_id = 'A' AND turn_idx < 2) OR (conv_id = 'B' AND turn_idx = 0))").coalesce(
-        1
-    ).write.mode("append").parquet(src)
+    from log_formatter_spark.streaming.job import write_ordered_slices
+
+    first = "(conv_id = 'A' AND turn_idx < 2) OR (conv_id = 'B' AND turn_idx = 0)"
+    write_ordered_slices(src, df.where(first), df.where(f"NOT ({first})"))
 
     stream = (
         spark.readStream.schema(df.schema)

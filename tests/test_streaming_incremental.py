@@ -120,21 +120,26 @@ def test_stream_stream_join_across_micro_batches(spark, work):
     base = dt.datetime(2024, 2, 1, 12, 0, 0)
     schema = "event_id long, ts timestamp, user_id long, event_type string"
     # file 1: clicks only; file 2: purchases only (some in window, some not)
-    spark.createDataFrame(
-        [
-            (1, base, 7, "click"),
-            (2, base + dt.timedelta(minutes=50), 7, "click"),
-            (3, base, 8, "click"),
-        ],
-        schema,
-    ).coalesce(1).write.mode("append").parquet(src)
-    spark.createDataFrame(
-        [
-            (10, base + dt.timedelta(minutes=55), 7, "purchase"),  # both clicks in 1h window
-            (11, base + dt.timedelta(hours=3), 8, "purchase"),     # click 3 outside window
-        ],
-        schema,
-    ).coalesce(1).write.mode("append").parquet(src)
+    from log_formatter_spark.streaming.job import write_ordered_slices
+
+    write_ordered_slices(
+        src,
+        spark.createDataFrame(
+            [
+                (1, base, 7, "click"),
+                (2, base + dt.timedelta(minutes=50), 7, "click"),
+                (3, base, 8, "click"),
+            ],
+            schema,
+        ),
+        spark.createDataFrame(
+            [
+                (10, base + dt.timedelta(minutes=55), 7, "purchase"),  # both clicks in 1h window
+                (11, base + dt.timedelta(hours=3), 8, "purchase"),     # click 3 outside window
+            ],
+            schema,
+        ),
+    )
 
     def _stream(t):
         return (

@@ -8,7 +8,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from log_formatter_spark.streaming.job import stream_transcripts
+from log_formatter_spark.streaming.job import (
+    stream_transcripts,
+    write_ordered_slices,
+)
 from log_formatter_spark.streaming.transitions import streaming_tool_pairs
 from log_formatter_spark.transcripts import (
     tool_pairs,
@@ -44,11 +47,12 @@ def test_three_trigger_slicing_equals_batch(spark, sf_dir, tmp_path):
     batch operator row-for-row."""
     t = transcripts_from_events(spark, sf_dir)
     src = str(tmp_path / "in")
-    t.where(F.col("turn_idx") < 3).coalesce(1).write.parquet(src)
-    t.where((F.col("turn_idx") >= 3) & (F.col("turn_idx") < 6)).coalesce(
-        1
-    ).write.mode("append").parquet(src)
-    t.where(F.col("turn_idx") >= 6).coalesce(1).write.mode("append").parquet(src)
+    write_ordered_slices(
+        src,
+        t.where(F.col("turn_idx") < 3),
+        t.where((F.col("turn_idx") >= 3) & (F.col("turn_idx") < 6)),
+        t.where(F.col("turn_idx") >= 6),
+    )
     pairs = _run_stream(spark, src, str(tmp_path))
     assert _rows(transition_counts(pairs)) == _rows(
         transition_counts(tool_pairs(t))
@@ -66,8 +70,7 @@ def test_boundary_pairs_need_state(spark, sf_dir, tmp_path):
     n_within = tool_pairs(lo).count() + tool_pairs(hi).count()
     assert n_batch > n_within  # the boundary pairs exist
     src = str(tmp_path / "in")
-    lo.coalesce(1).write.parquet(src)
-    hi.coalesce(1).write.mode("append").parquet(src)
+    write_ordered_slices(src, lo, hi)
     assert _run_stream(spark, src, str(tmp_path)).count() == n_batch
 
 
@@ -102,7 +105,8 @@ def test_null_tools_bypass_state(spark, tmp_path):
     f1 = [("c", 0, "u", "x", "grep", ts), ("c", 1, "u", "x", None, ts)]
     f2 = [("c", 2, "u", "x", None, ts), ("c", 3, "u", "x", "bash", ts)]
     src = str(tmp_path / "in")
-    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
-    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+    write_ordered_slices(
+        src, spark.createDataFrame(f1, schema), spark.createDataFrame(f2, schema)
+    )
     pairs = _run_stream(spark, src, str(tmp_path)).collect()
     assert [(p["prev_tool"], p["tool"]) for p in pairs] == [("grep", "bash")]

@@ -104,3 +104,40 @@ def test_zorder_prunes_both_dimensions(layouts):
     assert lin_y == n_lin         # …and nothing on the other dimension
     assert zo_x < n_zo            # z-order prunes BOTH
     assert zo_y < n_zo
+
+
+def test_extreme_dims_cross_engine(spark, tmp_path):
+    """Pre-1970 timestamps (true FLOOR hour index, not truncation) and
+    snowflake-scale user_ids spanning > 2^47 (the regime where the raw
+    int64 ``(v - min) * 2^bits`` multiply would overflow): the Spark
+    operator and the DuckDB twin must agree exactly (ADVICE r4)."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = [
+        (1 << 62, dt.datetime(1969, 12, 31, 22, 30)),
+        (-(1 << 62), dt.datetime(1969, 12, 31, 23, 59, 59)),
+        (0, dt.datetime(2024, 1, 1)),
+        (123456789012345678, dt.datetime(1950, 6, 1, 12)),
+        (None, dt.datetime(2024, 1, 1)),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    p = str(tmp_path / "ev.parquet")
+    df.write.parquet(p)
+    got = sorted(tuple(r) for r in layout.zorder_layout(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(layout.zorder_layout_sql()).fetchall())
+    assert got == want
+    # floor, not truncation: 22:30 the day before epoch is hour -2
+    hours = {
+        r[0]
+        for r in df.where(F.col("ts").isNotNull())
+        .selectExpr(layout._RAW_Y_EXPR + " as h")
+        .collect()
+    }
+    assert -2 in hours
