@@ -385,20 +385,42 @@ def main() -> None:
     turns_per_sec = n_turns / flagship
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "turns_per_sec": round(turns_per_sec),
-                "bench_turns": n_turns,
-                "cores": cores,
-            }
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns_per_sec": round(turns_per_sec),
+        "bench_turns": n_turns,
+        "cores": cores,
+    }
+    # the COMPLETE result always lands in bench_full.json (and on stderr
+    # for humans); the final STDOUT line is the machine-readable channel
+    # and must fit the driver's 2000-char tail capture ENTIRELY — the
+    # round-4 line outgrew it (80 queries ≈ 2.6 kB) and the driver
+    # recorded "parsed": null (VERDICT r4 #4). If the full payload is
+    # too long, drop the CHEAPEST query entries (flagship_* protected)
+    # until it fits and say how many were omitted.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload), file=sys.stderr)
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        protected = {k: v for k, v in times.items() if k.startswith("flagship_")}
+        droppable = sorted(
+            ((k, v) for k, v in times.items() if k not in protected),
+            key=lambda kv: -kv[1],
         )
-    )
+        while len(line) > budget and droppable:
+            droppable.pop()  # drop the cheapest remaining entry
+            payload["queries"] = dict(sorted(droppable) + sorted(protected.items()))
+            payload["queries_omitted"] = len(times) - len(payload["queries"])
+            payload["full_results"] = "bench_full.json"
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1116,26 +1116,116 @@ _STREAMING_INC_DEDUP_SQL = _streaming_inc_dedup_sql()
 
 
 # Driver-gate execution order. The driver grades EXACTLY the first 50
-# queries per round (observed r01: 34/34, r02 + r03: precisely the first
-# 50 of this list), so with a 100-query catalog ordering IS coverage.
-# Round-4 rotation (VERDICT r3 #1): slots 1-29 are the 29 queries that
-# have never had a driver row in any round (union coverage r01∪r02∪r03 =
-# 71/100); slots 30-39 are the NINE round-4 additions (+
-# streaming_conv_keys, driver rows this round); slots 40-50 are the
-# cheapest r01/r02-only queries — every block-2 entry displaced past
-# slot 50 by a round-4 addition is already union-covered, so
-# displacement costs nothing; the 49 queries freshly graded green in
-# r03 form the tail. The window math is PINNED by
-# test_gate_order_covers_catalog + the first-50 check in
-# tests/test_contract.py — trust the tests, not this prose, when
-# rotating for round 5. Within each block, order stays ASCENDING
-# measured gate cost (spark+oracle at sf0.01) so a budget truncation cuts
-# the most expensive entries first. After round 4 every catalog query has
-# a driver row; round 5 re-rotates for confirmation. Keep in sync with
-# queries() — pinned by tests/test_contract.py::test_gate_order_covers_catalog.
+# queries per round (observed r01: 34/34; r02-r04: precisely the first
+# 50 of this list), so with a 135-query catalog ordering IS coverage.
+# Round-5 rotation (VERDICT r4 #1-2): slot 1 stays the flagship
+# (absorbs JVM/session warm-up); slots 2-16 are the 15 round-4d queries
+# that have never had a driver row (union coverage r01..r04 = 120/135)
+# -- banking these makes union driver coverage 135/135; slots 17-36
+# refresh the 20 entries whose latest grade is r01/r02 (stalest
+# non-streaming grades in the union); slots 37-50 refresh the cheapest
+# r03-graded entries. The catalog is FROZEN for the round-5 gate: any
+# new operator must displace a block-C refresh slot (never a block-A/B
+# entry) -- pinned mechanically by
+# tests/test_contract.py::test_ungraded_queries_inside_driver_window,
+# which derives "needs a driver row" from the shipped CORRECTNESS
+# files instead of a hand-maintained list. Within each block, order is
+# ASCENDING measured gate cost (spark+oracle) so a budget truncation
+# cuts the most expensive entries first; streaming rows sit last in
+# their block (one-time streaming machinery warm-up). Keep in sync
+# with queries() -- pinned by test_gate_order_covers_catalog.
 _GATE_ORDER = [
-    "transcripts_view",  # flagship first: absorbs JVM/session warm-up
-    # --- block 1: never driver-graded (29), cost-ascending ------------
+    "transcripts_view",
+    # --- block A: the 15 round-4d queries, never driver-graded ------
+    "cohort_retention",
+    "rate_anomaly",
+    "zorder_layout",
+    "term_pmi",
+    "event_funnel",
+    "quantile_sample_error",
+    "tool_transitions",
+    "context_budget",
+    "key_skew_report",
+    "error_streaks",
+    "conv_protocol",
+    "tool_pagerank",
+    "sink_agg_merge",
+    "strip_repetition",
+    "streaming_tool_transitions",
+    # --- block B: stalest grades (latest row r01/r02), refreshed ------
+    "parse_extract",
+    "parse_labels",
+    "kafka_decode_json",
+    "enrich_join",
+    "route_split",
+    "regional_revenue",
+    "asof_last_click",
+    "vocab_topk",
+    "lang_id_ngram",
+    "pipeline_counts",
+    "pipeline_counts_jvm",
+    "corpus_filter",
+    "similarity_topk",
+    "similarity_lsh",
+    "dedup_embedding",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    # --- block C: cheapest r03-graded refreshes (displaceable by any
+    # round-5 addition; see the freeze note above) ---------------------
+    "mixture_epochs",
+    "dedup_exact",
+    "validate_events",
+    "text_stats",
+    "dataset_split",
+    "multimodal_meta",
+    "token_count",
+    "labels_stamp",
+    "multimodal_frames",
+    "label_centroids",
+    "top_users_per_type",
+    "filter_exclude",
+    "purchasers_without_clicks",
+    "user_rolling_count",
+    # --- tail: r03-graded (union-covered) ------------------------------
+    "events_pivot",
+    "value_quantiles",
+    "busiest_convs",
+    "events_rollup",
+    "filter_project",
+    "events_props_json",
+    "events_hourly",
+    "distinct_convs_hourly",
+    "doc_fingerprint",
+    "lang_id",
+    "kmv_distinct_users",
+    "segment_top_orders",
+    "pricing_summary",
+    "repetition_score",
+    "skew_salted_agg",
+    "window_ordering",
+    "classifier_margin",
+    "incremental_dedup",
+    "pii_redact",
+    "parse_error_tolerant",
+    "turn_latency",
+    "kafka_decode_raw",
+    "source_profile",
+    "multimodal_decode",
+    "multimodal_resize",
+    "doc_winnow",
+    "conversation_assembly",
+    "sft_pairs",
+    "distinctive_terms",
+    "sink_template_route",
+    "winnow_pairs",
+    "conversation_sessions",
+    "temporal_split",
+    "conv_dedup",
+    "conv_qa",
+    # --- tail: r04-graded (freshest rows) ------------------------------
     "error_burst",
     "parse_grok",
     "pq_codes",
@@ -1162,12 +1252,9 @@ _GATE_ORDER = [
     "similarity_ivf",
     "dedup_clusters",
     "dedup_embedding_lsh",
-    # streaming rows last within the block (one-time streaming machinery
-    # warm-up lands on the first of them; each runs one trigger boundary)
     "streaming_incremental_dedup",
     "streaming_attribution",
     "streaming_conv_keys",
-    # --- new in round 4 (driver row this round; r5 = confirmation) ----
     "classifier_train_step",
     "exact_substring_spans",
     "span_dup_fraction",
@@ -1178,8 +1265,6 @@ _GATE_ORDER = [
     "streaming_neardup",
     "neardup_indexed",
     "conv_neardup",
-    # --- new in round 4b-continued (never graded; slots 41+ displace
-    # r01/r02-graded entries whose union coverage is already banked) ---
     "preference_pairs",
     "neardup_edit",
     "semantic_decontaminate",
@@ -1190,95 +1275,6 @@ _GATE_ORDER = [
     "streaming_bloom",
     "classifier_eval",
     "countmin_hitters",
-    # --- new in round 4d, PAST the 50-slot driver window (local replica
-    # only this round; the round-5 rotation grades them) ---------------
-    "strip_repetition",
-    "event_funnel",
-    "cohort_retention",
-    "tool_transitions",
-    "context_budget",
-    "sink_agg_merge",
-    "rate_anomaly",
-    "key_skew_report",
-    "term_pmi",
-    "error_streaks",
-    "zorder_layout",
-    "tool_pagerank",
-    "quantile_sample_error",
-    "conv_protocol",
-    "streaming_tool_transitions",
-    # --- block 2: graded only in r01/r02, cost-ascending (entries past
-    # slot 50 are union-covered; see the window-math note above) -------
-    "regional_revenue",
-    "parse_extract",
-    "similarity_topk",
-    "asof_last_click",
-    "dedup_minhash_signatures",
-    "parse_labels",
-    "corpus_filter",
-    "kafka_decode_json",
-    "enrich_join",
-    "route_split",
-    "dedup_ngram_jaccard",
-    "vocab_topk",
-    "similarity_lsh",
-    "dedup_minhash",
-    "dedup_embedding",
-    "pipeline_counts_jvm",
-    "dedup_simhash",
-    # --- tail: graded green in r03 (49) + bumped block-2 entries ------
-    "pipeline_counts",
-    "dedup_simhash_pairs",
-    "lang_id_ngram",
-    "dataset_split",
-    "multimodal_meta",
-    "token_count",
-    "dedup_exact",
-    "labels_stamp",
-    "multimodal_frames",
-    "label_centroids",
-    "top_users_per_type",
-    "filter_exclude",
-    "purchasers_without_clicks",
-    "user_rolling_count",
-    "events_pivot",
-    "value_quantiles",
-    "busiest_convs",
-    "events_rollup",
-    "filter_project",
-    "events_props_json",
-    "events_hourly",
-    "validate_events",
-    "distinct_convs_hourly",
-    "doc_fingerprint",
-    "lang_id",
-    "kmv_distinct_users",
-    "segment_top_orders",
-    "pricing_summary",
-    "repetition_score",
-    "skew_salted_agg",
-    "window_ordering",
-    "text_stats",
-    "classifier_margin",
-    "mixture_epochs",
-    "incremental_dedup",
-    "pii_redact",
-    "parse_error_tolerant",
-    "turn_latency",
-    "kafka_decode_raw",
-    "source_profile",
-    "multimodal_decode",
-    "multimodal_resize",
-    "doc_winnow",
-    "conversation_assembly",
-    "sft_pairs",
-    "distinctive_terms",
-    "sink_template_route",
-    "winnow_pairs",
-    "conversation_sessions",
-    "temporal_split",
-    "conv_dedup",
-    "conv_qa",
     "streaming_pipeline_counts",
 ]
 

@@ -163,35 +163,26 @@ def test_gate_order_covers_catalog():
     assert keys[-1] == "streaming_pipeline_counts"
 
 
-def test_round4_additions_inside_driver_window():
-    """The driver grades exactly the first 50 gate entries per round;
-    every round-4 addition needs a driver row THIS round, so each must
-    sit inside the window (the window math in the _GATE_ORDER comment
-    is pinned here, not trusted as prose)."""
-    r4 = [
-        "classifier_train_step",
-        "exact_substring_spans",
-        "span_dup_fraction",
-        "semdedup",
-        "source_overlap",
-        "embedding_outliers",
-        "source_drift",
-        "streaming_neardup",
-        "neardup_indexed",
-        "conv_neardup",
-        # round-4b-continued additions (slots 41+ displace r01/r02-graded
-        # entries whose union coverage is already banked)
-        "preference_pairs",
-        "neardup_edit",
-        "semantic_decontaminate",
-        "bloom_membership",
-        "dup_families",
-        "strip_boilerplate",
-        "curation_funnel",
-        "streaming_bloom",
-        "classifier_eval",
-        "countmin_hitters",
-    ]
-    window = contract._GATE_ORDER[:50]
-    missing = [q for q in r4 if q not in window]
+def test_ungraded_queries_inside_driver_window():
+    """The driver grades exactly the first 50 gate entries per round,
+    so any catalog query WITHOUT a driver row in the shipped
+    CORRECTNESS files must sit inside the window — this is the catalog
+    freeze (VERDICT r4 #2) made mechanical: a new operator added
+    mid-round automatically fails this test until it is placed in the
+    window (displacing a refresh slot), so the round-4 rotation gap
+    (operators landing after the gate ran) cannot recur. Derives
+    "needs a driver row" from the CORRECTNESS files themselves instead
+    of a hand-maintained list."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            graded |= set(json.load(fh))
+    assert graded, "no CORRECTNESS files found next to the package"
+    window = set(contract._GATE_ORDER[:50])
+    missing = [q for q in contract._catalog() if q not in graded and q not in window]
     assert not missing, missing
