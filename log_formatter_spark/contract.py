@@ -49,6 +49,7 @@ from log_formatter_spark.operators import (
 )
 from log_formatter_spark.sources import kafka_fixture
 from log_formatter_spark.operators.filter import apply_filter
+from log_formatter_spark.operators.similarity import auto_bits, auto_centroids
 from log_formatter_spark.operators.labels import stamp_labels
 from log_formatter_spark.operators.ordering import with_turn_order
 from log_formatter_spark.operators.parser import ParserConfig, apply_parser
@@ -121,6 +122,28 @@ SEM_DECON_MIN_COS = 0.3
 BLOOM_M_BITS = 2048
 BLOOM_K = 3
 
+# --- auto-sized-config gate corpus (VERDICT r4 "what's wrong" #1) ----------
+# The LSH-family contract rows pin n_bits/n_clusters because each DuckDB
+# oracle is a static SQL string, but the SHIPPING defaults auto-size to
+# the corpus (auto_bits / auto_centroids) — and at the driver's sf0.01
+# (500 embeddings) the auto formulas CLAMP to the same small values, so
+# no hash-exact row ever graded a grown bucket code. The *_auto rows fix
+# that: both engines deterministically expand the embeddings table
+# 10× (replica r gets vec_id + r·STRIDE and a per-replica SIGN-FLIP of
+# every 3rd element — sign flips are exact in IEEE float, so both
+# engines build the bit-identical corpus, and within-replica pairwise
+# dots equal the base corpus' exactly), growing n to 5 000 where
+# auto_bits(n)=7 (> the pinned 3) and auto_centroids(n)=71 (> the
+# pinned 8). The Spark side runs the TRUE auto path (n_bits=None /
+# n_clusters=None → count + auto sizing on the expanded frame); the SQL
+# renders the same formulas' values as static knobs, and
+# tests/test_auto_config_contract.py pins formula ⇄ constant agreement
+# so testdata drift fails loudly.
+AUTO_EXP_REPLICAS = 10
+AUTO_EXP_STRIDE = 1_000_000
+SF001_EMB_N = 500  # sf0.01 embeddings row count, asserted in tests
+AUTO_EXP_N = AUTO_EXP_REPLICAS * SF001_EMB_N
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -130,6 +153,43 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10×-expanded embeddings corpus (see the AUTO_EXP_* note):
+    replica r shifts ids by r·STRIDE and sign-flips elements where
+    (i + r) % 3 == 0 (0-based i) — exact IEEE ops, bit-identical to the
+    DuckDB twin in ``_EXPANDED_EMB_CTE``."""
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(AUTO_EXP_REPLICAS - 1))
+            ).alias("r"),
+        )
+        .select(
+            (
+                F.col("vec_id") + F.col("r").cast("long") * F.lit(AUTO_EXP_STRIDE)
+            ).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "CASE WHEN (i + r) % 3 = 0 THEN -x ELSE x END)"
+            ).alias("embedding"),
+        )
+    )
+
+
+# DuckDB twin of _emb_expanded (list_transform's index is 1-BASED, so
+# (i - 1 + r) matches Spark's 0-based (i + r))
+_EXPANDED_EMB_CTE = f"""expanded AS (
+  SELECT e.vec_id + r.r * {AUTO_EXP_STRIDE} AS vec_id,
+         list_transform(e.embedding,
+                        (x, i) -> CASE WHEN (i - 1 + r.r) % 3 = 0
+                                       THEN -x ELSE x END) AS embedding
+  FROM embeddings e, range(0, {AUTO_EXP_REPLICAS}) r(r)
+)"""
 
 
 # --- transcript-pipeline oracle CTE chain ---------------------------------
@@ -1151,6 +1211,12 @@ _GATE_ORDER = [
     "tool_pagerank",
     "sink_agg_merge",
     "strip_repetition",
+    # round-5 additions: the auto-sized LSH-family configs (VERDICT r4
+    # "what's wrong" #1) — placed inside the window per the freeze rule,
+    # displacing three block-C refreshes
+    "dedup_embedding_lsh_auto",
+    "semdedup_auto",
+    "semantic_decontaminate_auto",
     "streaming_tool_transitions",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
@@ -1186,10 +1252,11 @@ _GATE_ORDER = [
     "multimodal_frames",
     "label_centroids",
     "top_users_per_type",
+    # --- tail: r03-graded (union-covered; first three displaced from
+    # block C by the round-5 auto-config rows) --------------------------
     "filter_exclude",
     "purchasers_without_clicks",
     "user_rolling_count",
-    # --- tail: r03-graded (union-covered) ------------------------------
     "events_pivot",
     "value_quantiles",
     "busiest_convs",
@@ -1525,11 +1592,26 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_embedding_lsh": lambda s, d: dedup.embedding_dup_pairs_lsh(
             _emb(s, d), min_cos=EMBED_MIN_COS, n_bits=dedup.EMBED_LSH_BITS
         ),
+        # the AUTO-SIZED config on the 10×-expanded corpus: n_bits=None
+        # → the operator counts the frame and picks auto_bits(5000)=7 —
+        # a GROWN bucket code, the config class that ships at scale
+        # (VERDICT r4 "what's wrong" #1); the oracle renders the same
+        # formula's value as its static knob
+        "dedup_embedding_lsh_auto": lambda s, d: dedup.embedding_dup_pairs_lsh(
+            _emb_expanded(s, d), min_cos=EMBED_MIN_COS
+        ),
         # SemDeDup: Voronoi-cluster the embedding space, prune near-dups
         # within cells only (keep-lowest-id); anchors + fold kernel = the
         # oracled config, trained centroids / grouped verify are the knobs
         "semdedup": lambda s, d: dedup.semdedup(
             _emb(s, d), n_clusters=8, min_cos=SEMDEDUP_MIN_COS
+        ),
+        # auto-sized cluster count on the expanded corpus:
+        # n_clusters=None → auto_centroids(5000)=71 (~sqrt(n), the
+        # shipping default; the pinned-8 row keeps grading the legacy
+        # static config)
+        "semdedup_auto": lambda s, d: dedup.semdedup(
+            _emb_expanded(s, d), n_clusters=None, min_cos=SEMDEDUP_MIN_COS
         ),
         # cross-source containment audit over the banded MinHash pairs
         "source_overlap": lambda s, d: corpus.source_overlap(_docs(s, d)),
@@ -1578,6 +1660,13 @@ def _catalog() -> dict[str, QueryFn]:
             eval_pred=F.col("vec_id") % DECONTAM_EVAL_MOD == 0,
             min_cos=SEM_DECON_MIN_COS,
             n_bits=dedup.EMBED_LSH_BITS,
+        ),
+        # auto-sized n_bits on the expanded corpus (n_bits=None →
+        # auto_bits(5000)=7, the grown-code config; see AUTO_EXP_* note)
+        "semantic_decontaminate_auto": lambda s, d: corpus.semantic_decontaminate(
+            _emb_expanded(s, d),
+            eval_pred=F.col("vec_id") % DECONTAM_EVAL_MOD == 0,
+            min_cos=SEM_DECON_MIN_COS,
         ),
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
         # the actionable rewrite form: corpus-common spans REMOVED
@@ -1796,7 +1885,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": dedup.embedding_dup_pairs_sql(min_cos=EMBED_MIN_COS),
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh_sql(min_cos=EMBED_MIN_COS),
+        # the auto-sized twins render the SAME auto_bits/auto_centroids
+        # formulas the operators compute on the expanded frame (pinned
+        # formula ⇄ constant in tests/test_auto_config_contract.py)
+        "dedup_embedding_lsh_auto": dedup.embedding_dup_pairs_lsh_sql(
+            min_cos=EMBED_MIN_COS,
+            n_bits=auto_bits(AUTO_EXP_N, dedup.EMBED_LSH_TARGET_BUCKET),
+            src="expanded",
+            pre_cte=_EXPANDED_EMB_CTE,
+        ),
         "semdedup": dedup.semdedup_sql(n_clusters=8, min_cos=SEMDEDUP_MIN_COS),
+        "semdedup_auto": dedup.semdedup_sql(
+            n_clusters=auto_centroids(AUTO_EXP_N),
+            min_cos=SEMDEDUP_MIN_COS,
+            src="expanded",
+            pre_cte=_EXPANDED_EMB_CTE,
+        ),
         "source_overlap": corpus.source_overlap_sql(),
         "source_drift": corpus.source_drift_sql(),
         "streaming_neardup": dedup.incremental_neardup_sql(
@@ -1824,6 +1928,13 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": corpus.semantic_decontaminate_sql(
             "({id}) % " + f"{DECONTAM_EVAL_MOD} = 0",
             min_cos=SEM_DECON_MIN_COS,
+        ),
+        "semantic_decontaminate_auto": corpus.semantic_decontaminate_sql(
+            "({id}) % " + f"{DECONTAM_EVAL_MOD} = 0",
+            min_cos=SEM_DECON_MIN_COS,
+            n_bits=auto_bits(AUTO_EXP_N, dedup.EMBED_LSH_TARGET_BUCKET),
+            src="expanded",
+            pre_cte=_EXPANDED_EMB_CTE,
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "strip_boilerplate": corpus.strip_boilerplate_sql(),

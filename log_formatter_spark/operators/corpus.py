@@ -1452,11 +1452,14 @@ def semantic_decontaminate_sql(
     n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_cte: str = "",
 ) -> str:
     """DuckDB rendering of :func:`semantic_decontaminate` — same anchors,
     same band/bucket codes, same unit-dot cosine (the
     embedding_dup_pairs_lsh oracle discipline). ``eval_pred_tmpl`` is a
-    format string over ``{id}``, e.g. ``"({id}) % 23 = 0"``."""
+    format string over ``{id}``, e.g. ``"({id}) % 23 = 0"``; ``pre_cte``
+    prepends CTEs so the contract can grade an auto-sized ``n_bits``
+    on an expanded corpus."""
     from log_formatter_spark.functions.vectors import dot_sql, unit_cte_sql
     from log_formatter_spark.operators.dedup import EMBED_LSH_BANDS, EMBED_LSH_BITS
 
@@ -1469,8 +1472,9 @@ def semantic_decontaminate_sql(
     na = n_bits * n_bands
     ev_t = eval_pred_tmpl.format(id="t.id")
     ev_e = eval_pred_tmpl.format(id="e.id")
+    pre = f"{pre_cte}, " if pre_cte else ""
     return f"""
-WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+WITH {pre}u AS ({unit_cte_sql(src, id_col, vec_col)}),
 anchors AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS a_id, uv AS au
   FROM u ORDER BY {id_col} LIMIT {na}

@@ -1382,14 +1382,20 @@ def embedding_dup_pairs_lsh_sql(
     n_bands: int = EMBED_LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_cte: str = "",
 ) -> str:
     """DuckDB rendering of the banded plan (same anchors, same bands),
-    so the driver's value-hash check covers the ANN path exactly."""
+    so the driver's value-hash check covers the ANN path exactly.
+    ``pre_cte`` prepends extra CTE definitions (e.g. a deterministic
+    corpus expansion) so ``src`` can name a derived table — the hook
+    that lets the contract grade an AUTO-SIZED ``n_bits`` config on a
+    grown corpus (VERDICT r4 "what's wrong" #1)."""
     d = dot_sql("v.uv", "a.au")
     cos = dot_sql("ua.uv", "ub.uv")
     na = n_bits * n_bands
+    pre = f"{pre_cte}, " if pre_cte else ""
     return f"""
-WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+WITH {pre}u AS ({unit_cte_sql(src, id_col, vec_col)}),
 anchors AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS a_id, uv AS au
   FROM u ORDER BY {id_col} LIMIT {na}
@@ -1560,14 +1566,18 @@ def semdedup_sql(
     min_cos: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_cte: str = "",
 ) -> str:
     """DuckDB rendering of :func:`semdedup` (anchor centroids, fold
     kernel) — same assignment rule (argmax dot, higher cid on ties),
-    same keep-lowest-id pruning, column-for-column."""
+    same keep-lowest-id pruning, column-for-column. ``pre_cte``
+    prepends CTEs so the contract can grade an auto-sized
+    ``n_clusters`` on an expanded corpus."""
     d = dot_sql("v.uv", "c.cu")
     cos = dot_sql("a.uv", "b.uv")
+    pre = f"{pre_cte}, " if pre_cte else ""
     return f"""
-WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+WITH {pre}u AS ({unit_cte_sql(src, id_col, vec_col)}),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cid, uv AS cu
   FROM u ORDER BY {id_col} LIMIT {n_clusters}

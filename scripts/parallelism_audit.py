@@ -43,6 +43,10 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     qs, oracles = contract.queries(), contract.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_AUDIT_QUERIES")
+    if only:  # comma-separated subset, same knob shape as sweep_scaled
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     bad: list[str] = []
     for name in qs:
         try:
