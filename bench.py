@@ -113,6 +113,8 @@ HEADLINE = [
     "tool_pagerank",
     "quantile_sample_error",
     "conv_protocol",
+    # round 5: the composed curation pass (one assembly exchange)
+    "conv_curation",
 ]
 
 
@@ -287,6 +289,18 @@ def _conv_neardup_raw(spark, sf_dir):
     return conv_neardup(transcripts_from_events(spark, sf_dir), min_est=0.3)
 
 
+def _conv_curation_raw(spark, sf_dir):
+    # RAW transcripts (no contract fixture), same rationale as
+    # _conv_neardup_raw. The composed pass: exact + near-dup verdicts
+    # from ONE conv_id assembly exchange — compare with the sum of the
+    # conv_dedup + conv_neardup entries, which pay the |turns|-sized
+    # assembly twice (VERDICT r4 #7).
+    from log_formatter_spark.operators.conversations import conv_curation
+    from log_formatter_spark.transcripts import transcripts_from_events
+
+    return conv_curation(transcripts_from_events(spark, sf_dir), min_est=0.3)
+
+
 def _outliers_auto(spark, sf_dir):
     # auto-sized cluster count: the CONTRACT query pins n_clusters=8
     # (static oracle), which caps the per-cell percent_rank window at 8
@@ -323,6 +337,7 @@ BENCH_OVERRIDES = {
     "embedding_outliers": _outliers_auto,
     "neardup_indexed": _neardup_probe_indexed,
     "conv_neardup": _conv_neardup_raw,
+    "conv_curation": _conv_curation_raw,
     "similarity_ivf_trained": _ivf_trained,
     "dedup_embedding_lsh_prod": _embedding_lsh_prod,
     "pq_topk_trained": _pq_trained,

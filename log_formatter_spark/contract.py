@@ -1217,6 +1217,7 @@ _GATE_ORDER = [
     "dedup_embedding_lsh_auto",
     "semdedup_auto",
     "semantic_decontaminate_auto",
+    "conv_curation",
     "streaming_tool_transitions",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
@@ -1251,9 +1252,9 @@ _GATE_ORDER = [
     "labels_stamp",
     "multimodal_frames",
     "label_centroids",
+    # --- tail: r03-graded (union-covered; first entries displaced from
+    # block C by the round-5 additions) ----------------------------------
     "top_users_per_type",
-    # --- tail: r03-graded (union-covered; first three displaced from
-    # block C by the round-5 auto-config rows) --------------------------
     "filter_exclude",
     "purchasers_without_clicks",
     "user_rolling_count",
@@ -1499,6 +1500,12 @@ def _catalog() -> dict[str, QueryFn]:
         # conversation-LEVEL near-dup: re-logged sessions with small
         # edits that the exact content key treats as distinct
         "conv_neardup": lambda s, d: conversations.conv_neardup(
+            _nd_transcripts(s, d), min_est=0.6
+        ),
+        # the COMPOSED curation pass: exact + near-dup verdicts from ONE
+        # conv_id assembly exchange (VERDICT r4 #7; ReusedExchange
+        # pinned in tests/test_conv_curation.py)
+        "conv_curation": lambda s, d: conversations.conv_curation(
             _nd_transcripts(s, d), min_est=0.6
         ),
         # ordered conversion funnel over raw events (one user-key shuffle)
@@ -1844,6 +1851,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_protocol": TRANSCRIPT_CTES + conversations.conv_protocol_sql(),
         "conv_neardup": TRANSCRIPT_CTES
         + conversations.conv_neardup_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
+        "conv_curation": TRANSCRIPT_CTES
+        + conversations.conv_curation_sql(_CONV_ND_FIXTURE_SQL, min_est=0.6),
         "error_burst": TRANSCRIPT_CTES + olap.error_burst_sql(TRANSCRIPT_PATTERN),
         "event_funnel": olap.event_funnel_sql(),
         "cohort_retention": olap.cohort_retention_sql(),

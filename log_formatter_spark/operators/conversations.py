@@ -396,6 +396,160 @@ SELECT doc_a AS conv_a, doc_b AS conv_b, est_jaccard FROM (
 """
 
 
+def conv_curation(
+    transcripts: DataFrame,
+    n: int = 3,
+    min_est: float = 0.5,
+    canon: Column | None = None,
+) -> DataFrame:
+    """The COMPOSED conversation-curation pass: exact-dedup verdicts
+    AND near-dup partner stats per conversation, from ONE conversation
+    assembly exchange (VERDICT r4 #7 — running :func:`conv_dedup` and
+    :func:`conv_neardup` separately pays the |turns|-sized conv_id
+    assembly shuffle twice; at 10¹² turns that shuffle IS the cost, so
+    a curation pipeline should assemble once and fan the per-conv
+    frame out to every tier).
+
+    Output, one row per conversation:
+    ``(conv_id, conv_key, exact_group_size, exact_survivor,
+    is_exact_dup, neardup_partners, max_est_jaccard)`` — sentinel
+    ``max_est_jaccard = -1.0`` when the conversation has no banded
+    near-dup partner at ``min_est`` (turn counts stay with
+    :func:`conv_dedup`: carrying them here would force the near tier's
+    column pruning to diverge from the exact tier's and break the
+    exchange share below).
+
+    Plan shape: the conv_id assembly aggregate emits exactly
+    ``(conv_id, text)`` and EVERY consumer — the conv_key window
+    (exact tier) and both sides of the band self-join (near tier) —
+    requests exactly those columns, so the three subplans canonicalize
+    identically and the exchange-reuse rule computes the |turns|-sized
+    assembly shuffle ONCE, serving the other two consumers from the
+    same shuffle files (ReusedExchange pinned in
+    tests/test_conv_curation.py). Two details make the reuse hold, both
+    load-bearing: (a) NULL conv_ids are filtered EXPLICITLY before the
+    aggregate — otherwise the near tier's inner band join infers
+    ``isnotnull(conv_id)`` and pushes it below ITS copy of the
+    aggregate while the window tier gets no such inference, and the two
+    subplans stop canonicalizing equal (measured: the filter asymmetry
+    alone doubles the assembly shuffle); (b) no per-tier extra columns
+    ride the aggregate (see the n_turns note above). The near tier is
+    the verify-inline probe (signatures RIDE the band explode, est
+    filter before the pair distinct — the r4 incremental_neardup
+    shape); everything above the assembly exchange is
+    |conversations|-sized."""
+    from log_formatter_spark.operators.dedup import (
+        _bands_with_sig,
+        _probe_bands,
+        minhash_signatures,
+    )
+
+    assembled = (
+        transcripts.where(F.col("conv_id").isNotNull())
+        .groupBy("conv_id")
+        .agg(joined_turns(canon).alias("text"))
+    )
+    w = Window.partitionBy("conv_key")
+    exact = assembled.withColumn("conv_key", F.md5(F.col("text"))).select(
+        "conv_id",
+        "conv_key",
+        F.count(F.lit(1)).over(w).alias("exact_group_size"),
+        F.min("conv_id").over(w).alias("exact_survivor"),
+    )
+    sig = minhash_signatures(assembled, n=n, id_col="conv_id")
+    pairs = (
+        _probe_bands(
+            _bands_with_sig(sig, "batch_doc", "a", "conv_id"),
+            _bands_with_sig(sig, "corpus_doc", "b", "conv_id"),
+            min_est,
+        )
+        .where(F.col("batch_doc") < F.col("corpus_doc"))
+        .distinct()
+    )
+    partners = (
+        pairs.select(
+            F.explode(
+                F.array(F.col("batch_doc"), F.col("corpus_doc"))
+            ).alias("conv_id"),
+            F.col("est_jaccard"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("neardup_partners"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+    )
+    return exact.join(partners, on="conv_id", how="left").select(
+        "conv_id",
+        "conv_key",
+        "exact_group_size",
+        "exact_survivor",
+        (F.col("conv_id") != F.col("exact_survivor")).alias("is_exact_dup"),
+        F.coalesce("neardup_partners", F.lit(0).cast("bigint")).alias(
+            "neardup_partners"
+        ),
+        F.coalesce("max_est_jaccard", F.lit(-1.0)).alias("max_est_jaccard"),
+    )
+
+
+def conv_curation_sql(
+    transcripts_cte: str = "transcripts",
+    n: int = 3,
+    min_est: float = 0.5,
+    canon_sql: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`conv_curation` — one assembled CTE
+    feeding both tiers, the conv_neardup_sql nested-WITH splice for the
+    minhash chain. The whole statement is a plain SELECT over a nested
+    WITH (never a top-level WITH) so it composes after an existing CTE
+    chain like TRANSCRIPT_CTES."""
+    from log_formatter_spark.operators.dedup import minhash_pairs_sql
+
+    inner = minhash_pairs_sql(
+        src="assembled", n=n, id_col="conv_id", min_est=min_est
+    ).lstrip()
+    assert inner.startswith("WITH"), "minhash_pairs_sql shape changed"
+    inner_ctes = inner.removeprefix("WITH")
+    return f"""
+SELECT conv_id, conv_key, exact_group_size, exact_survivor,
+       is_exact_dup, neardup_partners, max_est_jaccard
+FROM (
+  WITH assembled AS (
+    SELECT conv_id, {joined_turns_sql(canon_sql)} AS text
+    FROM {transcripts_cte} WHERE conv_id IS NOT NULL GROUP BY conv_id
+  ),
+  exact AS (
+    SELECT conv_id, md5(text) AS conv_key,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+             AS exact_group_size,
+           min(conv_id) OVER (PARTITION BY md5(text)) AS exact_survivor
+    FROM assembled
+  ),
+  pairs AS (
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      WITH {inner_ctes}
+    )
+  ),
+  partners AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS neardup_partners,
+           max(est_jaccard) AS max_est_jaccard
+    FROM (
+      SELECT doc_a AS conv_id, est_jaccard FROM pairs
+      UNION ALL
+      SELECT doc_b AS conv_id, est_jaccard FROM pairs
+    )
+    GROUP BY conv_id
+  )
+  SELECT e.conv_id, e.conv_key, e.exact_group_size,
+         e.exact_survivor,
+         e.conv_id <> e.exact_survivor AS is_exact_dup,
+         coalesce(p.neardup_partners, 0) AS neardup_partners,
+         coalesce(p.max_est_jaccard, CAST(-1.0 AS DOUBLE)) AS max_est_jaccard
+  FROM exact e LEFT JOIN partners p ON e.conv_id = p.conv_id
+)
+"""
+
+
 # The canonical agent loop: conversations open with system or user; a
 # user turn hands to the assistant; the assistant answers the user or
 # calls a tool; tools chain or return to the assistant. Part of the
