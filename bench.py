@@ -367,18 +367,16 @@ def main() -> None:
     # single-shot timings on a fresh box were ±2× noisy (BENCH.md §7)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        build = BENCH_OVERRIDES.get(name) or qs[name]
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            _materialize(build(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
 
-    # flagship throughput: synthetic transcripts at bench scale,
+    # flagship throughput FIRST (right after warm-up, before the
+    # 80-query catalog loop): synthetic transcripts at bench scale,
     # materialized to parquet first so generation cost (a one-off
-    # window over spark.range) isn't billed to the pipeline
+    # window over spark.range) isn't billed to the pipeline. Measuring
+    # it last instead reads the Arrow engine ~3× slow — after ~80
+    # pandas-UDF-heavy queries the reused Python worker pool carries
+    # bloated heaps (measured: flagship_arrow 3.33 s end-of-run vs
+    # 1.19 s isolated, while flagship_jvm is unaffected at 0.91 s) —
+    # which is session-lifetime artifact, not pipeline throughput.
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
     input_dir = f"/tmp/lfs_bench_flagship_{n_turns}"
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
@@ -398,6 +396,15 @@ def main() -> None:
         if engine == "arrow":
             flagship = best
     turns_per_sec = n_turns / flagship
+
+    for name in HEADLINE:
+        build = BENCH_OVERRIDES.get(name) or qs[name]
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(build(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     payload = {
