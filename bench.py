@@ -115,6 +115,9 @@ HEADLINE = [
     "conv_protocol",
     # round 5: the composed curation pass (one assembly exchange)
     "conv_curation",
+    # round 5 late: LWW ingest compaction + temperature mixture
+    "compact_regenerations",
+    "mixture_temperature",
 ]
 
 

@@ -69,6 +69,8 @@ from log_formatter_spark.transcripts import (
     TRANSCRIPT_PATTERN,
     TRANSCRIPTS_SQL,
     assemble_conversations,
+    compact_regenerations,
+    compact_regenerations_sql,
     preference_pairs,
     preference_pairs_sql,
     sft_pairs,
@@ -257,6 +259,42 @@ SELECT doc_id,
                               12 + CAST(doc_id % 4 AS INTEGER) * 3), ' ')
             ELSE text END AS text
 FROM documents
+"""
+
+
+# Regeneration fixture for compact_regenerations (the engineered-fixture
+# pattern: the synthetic transcript log is one-write-per-turn, so the
+# query re-emits deterministic slices as later versions identically in
+# both engines): every turn_idx % 5 == 2 turn gets a second write 1 s
+# later, every turn_idx % 10 == 2 turn a third 2 s later — exercising
+# n_versions ∈ {1, 2, 3} and a winner from each re-emit tier.
+def _regen_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+
+    def rewrite(mod: int, secs: int) -> DataFrame:
+        return (
+            t.where(F.col("turn_idx") % mod == 2)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {secs} SECOND"))
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" [regen v{secs + 1}]"))
+            )
+        )
+
+    return t.unionByName(rewrite(5, 1)).unionByName(rewrite(10, 2))
+
+
+_REGEN_CTE = """
+, regen AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text || ' [regen v2]' AS text, tool,
+         ts + INTERVAL 1 SECOND AS ts
+  FROM transcripts WHERE turn_idx % 5 = 2
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text || ' [regen v3]' AS text, tool,
+         ts + INTERVAL 2 SECOND AS ts
+  FROM transcripts WHERE turn_idx % 10 = 2
+)
 """
 
 
@@ -1219,6 +1257,11 @@ _GATE_ORDER = [
     "semantic_decontaminate_auto",
     "conv_curation",
     "streaming_tool_transitions",
+    # round-5 late additions (window-placed per the freeze rule,
+    # displacing two more block-C refreshes): LWW ingest compaction +
+    # temperature mixture
+    "compact_regenerations",
+    "mixture_temperature",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1463,6 +1506,11 @@ def _catalog() -> dict[str, QueryFn]:
         "preference_pairs": lambda s, d: preference_pairs(
             transcripts_from_events(s, d)
         ),
+        # last-writer-wins compaction of a multi-version ingest log
+        # (regenerations / retries / CDC upserts -> one row per turn)
+        "compact_regenerations": lambda s, d: compact_regenerations(
+            _regen_turns(s, d)
+        ),
         # first-order tool-handoff Markov chain (agent-ops dashboard)
         "tool_transitions": lambda s, d: tool_transitions(
             transcripts_from_events(s, d)
@@ -1555,6 +1603,10 @@ def _catalog() -> dict[str, QueryFn]:
         "classifier_eval": lambda s, d: classifier.classifier_eval(_docs(s, d)),
         # training-mixture assembly (integer per-source epochs)
         "mixture_epochs": lambda s, d: corpus.mixture_epochs(_docs(s, d)),
+        # temperature-weighted mixture (quota ∝ n^0.5, Hamilton-apportioned)
+        "mixture_temperature": lambda s, d: corpus.mixture_temperature(
+            _docs(s, d)
+        ),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
@@ -1832,6 +1884,9 @@ def oracle_sql() -> dict[str, str]:
         "conversation_assembly": TRANSCRIPT_CTES + ASSEMBLE_CONVERSATIONS_SQL,
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
+        "compact_regenerations": TRANSCRIPT_CTES
+        + _REGEN_CTE
+        + compact_regenerations_sql("regen"),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
         # the streaming pair stream aggregates to the SAME report —
         # one oracle serves both (the streaming ≡ batch contract)
@@ -1860,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_train_step": classifier.train_step_sql(),
         "classifier_eval": classifier.classifier_eval_sql(),
         "mixture_epochs": corpus.mixture_epochs_sql(),
+        "mixture_temperature": corpus.mixture_temperature_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),
         # the streaming twin is stateless, so the BATCH oracle is its

@@ -538,6 +538,159 @@ SELECT {id_col}, source, epoch, {key} AS mix_key FROM (
 """
 
 
+MIX_TEMP_BUDGET = 300
+
+
+def _temperature_quotas(
+    counts: list[tuple[str, int]], budget: int, alpha: float
+) -> dict[str, int]:
+    """Hamilton-apportioned temperature quotas from per-source counts:
+    weight w_s = n_s^alpha, quota q_s = budget * w_s / Σw floored, with
+    the leftover (< n_sources) distributed by largest remainder
+    (tie-break: source name) so Σ quotas == budget exactly whenever
+    budget ≤ Σn. All arithmetic is EXACT integer math: for the shipped
+    α=0.5 the weight is ``math.isqrt`` — which equals the SQL twin's
+    ``floor(sqrt(CAST(n AS DOUBLE)))`` for every n < 2^40 (IEEE sqrt is
+    correctly rounded and the gap between √(k²−1) and k, ~1/2k, dwarfs
+    the double ulp there; one source would need a trillion docs to
+    leave that range) — so the driver-side plan literals and the DuckDB
+    rendering cannot drift."""
+    import math
+
+    if alpha == 0.5:
+        weights = {s: math.isqrt(n) for s, n in counts}
+    else:  # non-default temperatures: driver-side float pow (no SQL twin)
+        weights = {s: int(round(n**alpha)) for s, n in counts}
+    total = sum(weights.values())
+    if total == 0:
+        return {s: 0 for s, _ in counts}
+    floors = {s: budget * w // total for s, w in weights.items()}
+    leftover = budget - sum(floors.values())
+    by_rem = sorted(
+        weights, key=lambda s: (-(budget * weights[s] % total), s)
+    )
+    for s in by_rem[:leftover]:
+        floors[s] += 1
+    return floors
+
+
+def mixture_temperature(
+    docs: DataFrame,
+    budget: int = MIX_TEMP_BUDGET,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (the T5 / LLaMA / GPT-3
+    data-mixing rule): per-source quotas ∝ n_s^α for α < 1, flattening
+    the source distribution so tail sources are upweighted relative to
+    their raw share, then a deterministic hash-ordered draw of exactly
+    ``quota_s`` docs per source. Complements :func:`mixture_epochs`
+    (integer oversampling when the mixture is hand-specified) — this is
+    the rule that COMPUTES the mixture from corpus statistics.
+
+    Plan shape: per-source counts are a driver-sized aggregate (sources
+    are a bounded vocabulary — the anchors/centroids discipline), so
+    the quotas become exact integer plan literals via Hamilton
+    apportionment (see :func:`_temperature_quotas`). Selection is ONE
+    window ``row_number`` over ``source`` ordered by a salted 60-bit
+    doc hash: the literal ``rank <= max(quota)`` bound is applied FIRST
+    so Spark's WindowGroupLimit prunes every map partition to its local
+    top-max(q) BEFORE the exchange (the source_quota_sample discipline
+    — the shuffle moves O(partitions × max quota) rows, never the
+    corpus, and a giant source cannot concentrate more than max(q)
+    surviving rows on a reducer), then the exact per-source quota
+    filter runs as a literal CASE on the pruned rows.
+
+    Determinism: the hash order is md5-based and salted ('mixt'), ties
+    broken by doc_id — a strict total order, identical in the DuckDB
+    twin at any parallelism.
+    """
+    from log_formatter_spark.functions.hashing import md5_60
+
+    counts = [
+        (r["source"], r["n"])
+        for r in docs.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    quotas = _temperature_quotas(sorted(counts), budget, alpha)
+    max_q = max(quotas.values(), default=0)
+    if max_q == 0:
+        return docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.lit(0).cast("int").alias("mix_rank"),
+            F.lit(0).cast("long").alias("quota"),
+        ).limit(0)
+    key = md5_60(F.concat_ws(":", F.lit("mixt"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("_mix_key"), F.col(id_col))
+    q_expr = F.lit(0).cast("long")
+    for s, q in sorted(quotas.items()):
+        q_expr = F.when(F.col("source") == s, F.lit(q).cast("long")).otherwise(q_expr)
+    return (
+        docs.select(
+            F.col(id_col), F.col(source_col).alias("source"), key.alias("_mix_key")
+        )
+        .withColumn("mix_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("mix_rank") <= F.lit(max_q))  # WindowGroupLimit prune
+        .withColumn("quota", q_expr)
+        .where(F.col("mix_rank") <= F.col("quota"))
+        .select(id_col, "source", "mix_rank", "quota")
+    )
+
+
+def mixture_temperature_sql(
+    src: str = "documents",
+    budget: int = MIX_TEMP_BUDGET,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB rendering of :func:`mixture_temperature` at α=0.5 — the
+    quota arithmetic runs relationally from the same table (counts →
+    floor(sqrt) weights → floor division → largest-remainder top-up),
+    matching the operator's driver-side integer math exactly (see
+    :func:`_temperature_quotas` for the isqrt ≡ floor(sqrt(double))
+    bound). Only the shipped α=0.5 is rendered: other temperatures go
+    through float pow, which has no cross-engine exactness story."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    key = MD5_60_SQL.format(x=f"'mixt:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH mt_counts AS (
+  SELECT {source_col} AS source, CAST(count(*) AS BIGINT) AS n
+  FROM {src} GROUP BY {source_col}
+),
+mt_w AS (
+  SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+  FROM mt_counts
+),
+mt_tot AS (SELECT source, wt, SUM(wt) OVER () AS total_wt FROM mt_w),
+mt_floor AS (
+  SELECT source,
+         ({budget} * wt) // total_wt AS q_floor,
+         ({budget} * wt) % total_wt AS rem
+  FROM mt_tot
+),
+mt_quota AS (
+  SELECT source,
+         q_floor + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= {budget} - SUM(q_floor) OVER () THEN 1 ELSE 0 END
+           AS quota
+  FROM mt_floor
+),
+mt_ranked AS (
+  SELECT {id_col}, {source_col} AS source,
+         CAST(row_number() OVER (PARTITION BY {source_col}
+              ORDER BY {key}, {id_col}) AS INTEGER) AS mix_rank
+  FROM {src}
+)
+SELECT r.{id_col}, r.source, r.mix_rank, CAST(q.quota AS BIGINT) AS quota
+FROM mt_ranked r JOIN mt_quota q ON q.source = r.source
+WHERE r.mix_rank <= q.quota
+"""
+
+
 # --- eval-set decontamination ----------------------------------------------
 
 DECONTAM_NGRAM = 4

@@ -61,6 +61,8 @@ SHOWCASE = [
     ("conv_curation", "composed curation pass (ONE assembly exchange, reused 3 ways)"),
     ("dedup_embedding_lsh_auto", "auto-sized bucket code on the 10x-expanded corpus"),
     ("semdedup_auto", "auto-sized cluster count (k~sqrt(n)) on the expanded corpus"),
+    ("compact_regenerations", "LWW ingest compaction (order-free max-struct, one key exchange)"),
+    ("mixture_temperature", "temperature mixture draw (literal quotas, WindowGroupLimit)"),
 ]
 
 
