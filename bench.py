@@ -115,9 +115,10 @@ HEADLINE = [
     "conv_protocol",
     # round 5: the composed curation pass (one assembly exchange)
     "conv_curation",
-    # round 5 late: LWW ingest compaction + temperature mixture
+    # round 5 late: LWW ingest compaction + temperature mixture + HLL
     "compact_regenerations",
     "mixture_temperature",
+    "hll_distinct_users",
 ]
 
 

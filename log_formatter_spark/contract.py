@@ -1086,6 +1086,15 @@ def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+def _hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # p=5 (32 registers) keeps the 150-distinct fixture in HLL's raw
+    # regime (threshold 2.5·m = 80) — see the operator docstring; p is
+    # an estimator-precision knob, plan-invariant, so the pinned value
+    # grades the same code path production runs at p=12
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.hll_distinct(ev, "event_type", "user_id", p=5)
+
+
 # --- incremental dedup fixture ---------------------------------------------
 #
 # The synthetic corpus has no engineered exact duplicates, so the
@@ -1262,6 +1271,7 @@ _GATE_ORDER = [
     # temperature mixture
     "compact_regenerations",
     "mixture_temperature",
+    "hll_distinct_users",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1436,6 +1446,8 @@ def _catalog() -> dict[str, QueryFn]:
         "attribution_window": _attribution_window,
         "streaming_attribution": _streaming_attribution,
         "kmv_distinct_users": _kmv_distinct_users,
+        # HyperLogLog twin: register-exact, no distinct pass
+        "hll_distinct_users": _hll_distinct_users,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
         ),
@@ -1852,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_window": _attribution_window_sql(),
         "streaming_attribution": _attribution_window_sql(),
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
+        "hll_distinct_users": sketch.hll_distinct_sql(p=5),
         "events_rollup": olap.events_rollup_sql(),
         "validate_events": validate.validate_events_sql(),
         "top_users_per_type": olap.top_users_per_type_sql(),

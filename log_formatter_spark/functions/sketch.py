@@ -380,3 +380,132 @@ SELECT p.shingle, min(c.cnt) AS est_count, p.exact_count
 FROM probe p JOIN counters c ON p.r = c.r AND p.col = c.col
 GROUP BY p.shingle, p.exact_count
 """
+
+
+# --- HyperLogLog distinct sketch --------------------------------------------
+
+HLL_DEFAULT_P = 12  # production default: 4096 registers, σ ≈ 1.6%
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constants."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, p: int = HLL_DEFAULT_P
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate with its measured ground
+    truth — completing the sketch family next to KMV (order statistic),
+    Bloom (membership) and Count-Min (frequency).
+
+    Why HLL at 10^12 rows when :func:`kmv_distinct` exists: KMV needs a
+    DISTINCT pass (an exchange carrying one row per distinct value)
+    plus a per-group rank window; HLL is TWO streaming aggregations —
+    (group, bucket) → max(rank), then group → integer register sum —
+    with map-side combine absorbing duplicates before any exchange, so
+    the shuffled bytes are O(groups × 2^p) regardless of cardinality.
+    This is the estimator Spark's own approx_count_distinct implements;
+    rebuilt here register-by-register so the arithmetic is EXACT and
+    the driver's value-hash gate can verify it cross-engine.
+
+    Exactness discipline: the 60-bit md5 hash splits into bucket (low p
+    bits) and a (60−p)-bit word w; rank = leading zeros + 1 computed via
+    ``length(bin(w))`` (identical unpadded-binary semantics in Spark and
+    DuckDB, verified). The harmonic-mean denominator is kept INTEGER —
+    Σ 2^(61−p−M_j) plus 2^(61−p) per never-hit register, bounded by
+    m·2^(61−p) = 2^61 so it always fits BIGINT — because a float sum of
+    powers of two needs > 53 mantissa bits and would round differently
+    under different aggregation orders. The estimate is then ONE IEEE
+    division of a Python-computed literal (α·m²·2^(61−p), the same
+    decimal literal in both engines) by the exact integer sum.
+
+    The graded path is the RAW estimator: HLL's small-range linear-
+    counting branch needs ln(m/V), and transcendentals have no cross-
+    engine exactness story (the established no-log discipline, see
+    source_drift). Raw is the correct branch for n ≳ 2.5·m — callers
+    size p so the interesting groups sit there (the contract pins p=5,
+    threshold 80, against a 150-distinct fixture); the HLL++ bias-table
+    correction is a production knob outside the hash gate.
+
+    ``exact_distinct`` is the measured-ground-truth column (the
+    Count-Min ``exact_count`` discipline); production drops that branch
+    — it is the expensive thing the sketch exists to avoid.
+    """
+    m = 1 << p
+    alpha_num = _hll_alpha(m) * m * m * float(1 << (61 - p))
+    h = md5_60(F.concat(F.col(value_col).cast("string"), F.lit(":hll")))
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), h.alias("_h")
+    )
+    # INTEGER division (`div`, not `/`): h has 60 significant bits and a
+    # float quotient would round above 2^53, corrupting the word
+    w = F.expr(f"_h div {m}")
+    rank = (
+        F.lit(61 - p)
+        - F.when(w > 0, F.length(F.bin(w))).otherwise(F.lit(0))
+    ).cast("int")
+    regs = (
+        rows.select(group_col, (F.col("_h") % m).alias("_bucket"), rank.alias("_r"))
+        .groupBy(group_col, "_bucket")
+        .agg(F.max("_r").alias("_m"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {61 - p} - _m)")).alias("_s_hit"),
+        F.count(F.lit(1)).alias("_hit"),
+    )
+    s = F.col("_s_hit") + (F.lit(m) - F.col("_hit")) * F.lit(1 << (61 - p)).cast(
+        "long"
+    )
+    est = per_group.select(
+        group_col, (F.lit(alpha_num) / s.cast("double")).alias("est_distinct")
+    )
+    exact = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).alias("exact_distinct"))
+    )
+    return est.join(exact, group_col)
+
+
+def hll_distinct_sql(
+    src: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = HLL_DEFAULT_P,
+) -> str:
+    """DuckDB rendering of :func:`hll_distinct` — same integer register
+    arithmetic, same embedded α·m²·2^(61−p) literal."""
+    m = 1 << p
+    alpha_num = _hll_alpha(m) * m * m * float(1 << (61 - p))
+    h = MD5_60_SQL.format(x=f"(CAST({value_col} AS VARCHAR) || ':hll')")
+    return f"""
+WITH hll_rows AS (
+  SELECT {group_col}, {h} AS _h FROM {src} WHERE {value_col} IS NOT NULL
+),
+hll_regs AS (
+  SELECT {group_col}, _h % {m} AS _bucket,
+         CAST({61 - p} - CASE WHEN _h // {m} > 0
+                              THEN length(bin(_h // {m}))
+                              ELSE 0 END AS INTEGER) AS _r
+  FROM hll_rows
+),
+hll_max AS (
+  SELECT {group_col}, _bucket, max(_r) AS _m
+  FROM hll_regs GROUP BY {group_col}, _bucket
+),
+hll_sum AS (
+  SELECT {group_col},
+         CAST(sum(CAST(1 AS BIGINT) << ({61 - p} - _m)) AS BIGINT)
+           + ({m} - count(*)) * (CAST(1 AS BIGINT) << {61 - p}) AS _s
+  FROM hll_max GROUP BY {group_col}
+),
+hll_exact AS (
+  SELECT {group_col}, CAST(count(DISTINCT {value_col}) AS BIGINT)
+           AS exact_distinct
+  FROM {src} WHERE {value_col} IS NOT NULL GROUP BY {group_col}
+)
+SELECT e.{group_col}, {alpha_num!r} / CAST(s._s AS DOUBLE) AS est_distinct,
+       e.exact_distinct
+FROM hll_sum s JOIN hll_exact e ON e.{group_col} = s.{group_col}
+"""

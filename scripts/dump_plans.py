@@ -63,6 +63,7 @@ SHOWCASE = [
     ("semdedup_auto", "auto-sized cluster count (k~sqrt(n)) on the expanded corpus"),
     ("compact_regenerations", "LWW ingest compaction (order-free max-struct, one key exchange)"),
     ("mixture_temperature", "temperature mixture draw (literal quotas, WindowGroupLimit)"),
+    ("hll_distinct_users", "HyperLogLog registers (two streaming aggs, no distinct pass)"),
 ]
 
 

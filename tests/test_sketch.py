@@ -51,3 +51,80 @@ def test_kmv_parallelism_invariant(spark):
     [a] = kmv_distinct(base.repartition(1), "g", "v").collect()
     [b] = kmv_distinct(base.repartition(32), "g", "v").collect()
     assert a == b
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def test_hll_accuracy_across_cardinalities(spark):
+    """Raw-regime relative error stays within ~3σ (σ = 1.04/√m) for
+    cardinalities from 10·m to 1000·m at the production-ish p=10."""
+    from log_formatter_spark.functions.sketch import hll_distinct
+
+    p = 10
+    sigma = 1.04 / (1 << (p // 2))  # 1.04/sqrt(1024)
+    for n in (10_000, 100_000, 1_000_000):
+        df = spark.range(n).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        [row] = hll_distinct(df, "g", "v", p=p).collect()
+        assert row["exact_distinct"] == n
+        rel = abs(row["est_distinct"] - n) / n
+        assert rel < 3 * sigma, (n, row["est_distinct"], rel)
+
+
+def test_hll_duplicate_invariant(spark):
+    from log_formatter_spark.functions.sketch import hll_distinct
+
+    base = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    [a] = hll_distinct(base, "g", "v", p=8).collect()
+    [b] = hll_distinct(base.unionAll(base), "g", "v", p=8).collect()
+    assert a["est_distinct"] == b["est_distinct"]
+
+
+def test_hll_parallelism_invariant(spark):
+    from log_formatter_spark.functions.sketch import hll_distinct
+
+    base = spark.range(20_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    [a] = hll_distinct(base.repartition(1), "g", "v", p=6).collect()
+    [b] = hll_distinct(base.repartition(32), "g", "v", p=6).collect()
+    assert a == b
+
+
+def test_hll_rank_word_arithmetic(spark):
+    """The bucket/word split and leading-zero rank agree with a Python
+    reimplementation over the real 60-bit hash values."""
+    from log_formatter_spark.functions.hashing import md5_60
+    from log_formatter_spark.functions.sketch import hll_distinct
+
+    p, m = 5, 32
+    df = spark.range(200).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    hashes = [
+        r["h"]
+        for r in df.select(
+            md5_60(F.concat(F.col("v").cast("string"), F.lit(":hll"))).alias("h")
+        ).collect()
+    ]
+    regs = {}
+    for h in hashes:
+        bucket, w = h % m, h // m
+        rank = (60 - p) + 1 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    s = sum(1 << (61 - p - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << (61 - p)
+    )
+    from log_formatter_spark.functions.sketch import _hll_alpha
+
+    expect = (_hll_alpha(m) * m * m * float(1 << (61 - p))) / float(s)
+    [row] = hll_distinct(df, "g", "v", p=p).collect()
+    assert row["est_distinct"] == expect
+
+
+def test_hll_null_values_ignored(spark):
+    from log_formatter_spark.functions.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None)], "g string, v int"
+    )
+    [row] = hll_distinct(df, "g", "v", p=4).collect()
+    assert row["exact_distinct"] == 2
