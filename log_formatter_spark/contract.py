@@ -912,6 +912,54 @@ def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog register maintenance, hash-checked against
+    the BATCH hll_distinct oracle — the SEVENTH streaming ≡ batch
+    equivalence, and the one where streamability is a THEOREM rather
+    than an engineering property: the (group, bucket) → max(rank)
+    register aggregate is monotone, so Structured Streaming maintains
+    it with bounded state (O(groups × 2^p) rows) and ANY micro-batch
+    slicing of the input yields the same final register table. One
+    definition rule: the stream runs the literal `sketch.hll_registers`
+    the batch operator runs (the tool_pairs discipline); the estimate +
+    measured-ground-truth join is computed batch-side from the final
+    register state, so the row hashes against `hll_distinct_sql`
+    verbatim. Complete mode on purpose — registers are a running
+    maximum, never append-safe; the register table IS the state and it
+    is register-count-sized, not data-sized. maxFilesPerTrigger=1 over
+    4 input files exercises multi-trigger maintenance."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_shll_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    src = f"{work}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sketch.hll_registers(stream, "event_type", "user_id", p=5)
+        .writeStream.format("memory")
+        .queryName("lfs_shll_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.table("lfs_shll_gate")
+    exact = ev.where(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_distinct")
+    )
+    sketch.hll_estimate(regs, "event_type", p=5).join(
+        exact, "event_type"
+    ).write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -1272,6 +1320,7 @@ _GATE_ORDER = [
     "compact_regenerations",
     "mixture_temperature",
     "hll_distinct_users",
+    "streaming_hll_distinct",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1448,6 +1497,8 @@ def _catalog() -> dict[str, QueryFn]:
         "kmv_distinct_users": _kmv_distinct_users,
         # HyperLogLog twin: register-exact, no distinct pass
         "hll_distinct_users": _hll_distinct_users,
+        # seventh streaming ≡ batch row: monotone register maintenance
+        "streaming_hll_distinct": _streaming_hll_distinct,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
         ),
@@ -1865,6 +1916,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_attribution": _attribution_window_sql(),
         "kmv_distinct_users": sketch.kmv_distinct_sql(k=64),
         "hll_distinct_users": sketch.hll_distinct_sql(p=5),
+        # the streaming twin hashes against the SAME batch oracle — that
+        # equality is the correctness content
+        "streaming_hll_distinct": sketch.hll_distinct_sql(p=5),
         "events_rollup": olap.events_rollup_sql(),
         "validate_events": validate.validate_events_sql(),
         "top_users_per_type": olap.top_users_per_type_sql(),

@@ -432,8 +432,27 @@ def hll_distinct(
     Count-Min ``exact_count`` discipline); production drops that branch
     — it is the expensive thing the sketch exists to avoid.
     """
+    est = hll_estimate(hll_registers(df, group_col, value_col, p), group_col, p)
+    exact = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).alias("exact_distinct"))
+    )
+    return est.join(exact, group_col)
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = HLL_DEFAULT_P
+) -> DataFrame:
+    """THE register computation, shared by batch :func:`hll_distinct`
+    and the streaming twin (one definition of bucket/word/rank, so the
+    two paths can never de-sync — the tool_pairs discipline). The
+    (group, bucket) → max(rank) aggregate is MONOTONE, which is what
+    makes HLL trivially streamable: Structured Streaming maintains the
+    running max per register across micro-batches with bounded state
+    (O(groups × 2^p) rows) and any slicing of the input yields the same
+    final register table."""
     m = 1 << p
-    alpha_num = _hll_alpha(m) * m * m * float(1 << (61 - p))
     h = md5_60(F.concat(F.col(value_col).cast("string"), F.lit(":hll")))
     rows = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col), h.alias("_h")
@@ -445,11 +464,18 @@ def hll_distinct(
         F.lit(61 - p)
         - F.when(w > 0, F.length(F.bin(w))).otherwise(F.lit(0))
     ).cast("int")
-    regs = (
+    return (
         rows.select(group_col, (F.col("_h") % m).alias("_bucket"), rank.alias("_r"))
         .groupBy(group_col, "_bucket")
         .agg(F.max("_r").alias("_m"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_col: str, p: int = HLL_DEFAULT_P) -> DataFrame:
+    """Registers → (group, est_distinct): the exact-integer harmonic sum
+    and the single IEEE division (see :func:`hll_distinct`)."""
+    m = 1 << p
+    alpha_num = _hll_alpha(m) * m * m * float(1 << (61 - p))
     per_group = regs.groupBy(group_col).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {61 - p} - _m)")).alias("_s_hit"),
         F.count(F.lit(1)).alias("_hit"),
@@ -457,15 +483,9 @@ def hll_distinct(
     s = F.col("_s_hit") + (F.lit(m) - F.col("_hit")) * F.lit(1 << (61 - p)).cast(
         "long"
     )
-    est = per_group.select(
+    return per_group.select(
         group_col, (F.lit(alpha_num) / s.cast("double")).alias("est_distinct")
     )
-    exact = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(group_col)
-        .agg(F.count_distinct(F.col(value_col)).alias("exact_distinct"))
-    )
-    return est.join(exact, group_col)
 
 
 def hll_distinct_sql(

@@ -128,3 +128,37 @@ def test_hll_null_values_ignored(spark):
     )
     [row] = hll_distinct(df, "g", "v", p=4).collect()
     assert row["exact_distinct"] == 2
+
+
+def test_streaming_hll_registers_match_batch_any_slicing(spark, tmp_path):
+    """The register aggregate is monotone, so ANY micro-batch slicing
+    must land on the BATCH register table exactly."""
+    from log_formatter_spark.functions.sketch import hll_registers
+
+    src = str(tmp_path / "in")
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    batch = sorted(
+        tuple(r) for r in hll_registers(spark.read.parquet(src), "g", "v", p=6).collect()
+    )
+    for mft in (1, 3):
+        q = (
+            hll_registers(
+                spark.readStream.schema("g string, v long")
+                .option("maxFilesPerTrigger", mft)
+                .parquet(src),
+                "g",
+                "v",
+                p=6,
+            )
+            .writeStream.format("memory")
+            .queryName(f"hll_regs_{mft}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.table(f"hll_regs_{mft}").collect())
+        assert got == batch, mft
