@@ -960,6 +960,52 @@ def _streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min counter maintenance, hash-checked against the
+    BATCH countmin_hitters oracle — the EIGHTH streaming ≡ batch
+    equivalence, and like the HLL row a theorem rather than an
+    engineering property: the counter table is a per-(row, col) SUM, the
+    canonical mergeable sketch, so Structured Streaming maintains it in
+    complete mode with bounded data-independent state (exactly
+    depth × width rows) and ANY micro-batch slicing of the corpus lands
+    on the batch counter table exactly. One-definition rule: the stream
+    runs the literal `sketch.cm_shingles` → `sketch.cm_counters` the
+    batch operator runs; the exact-count candidate side (the measurement
+    harness) and the min-of-depth probe are computed batch-side from the
+    final counter state, so the row hashes against
+    `countmin_heavy_hitters_sql` VERBATIM. maxFilesPerTrigger=1 over 4
+    input files exercises multi-trigger maintenance."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_scm_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = f"{work}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sketch.cm_counters(sketch.cm_shingles(stream))
+        .writeStream.format("memory")
+        .queryName("lfs_scm_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = spark.table("lfs_scm_gate")
+    exact = sketch.cm_shingles(docs).groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    cand = exact.where(F.col("exact_count") >= 40)
+    sketch.cm_probe(cand, counters).write.mode("overwrite").parquet(
+        f"{work}/out"
+    )
+    return spark.read.parquet(f"{work}/out")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -1321,6 +1367,7 @@ _GATE_ORDER = [
     "mixture_temperature",
     "hll_distinct_users",
     "streaming_hll_distinct",
+    "streaming_countmin",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1499,6 +1546,7 @@ def _catalog() -> dict[str, QueryFn]:
         "hll_distinct_users": _hll_distinct_users,
         # seventh streaming ≡ batch row: monotone register maintenance
         "streaming_hll_distinct": _streaming_hll_distinct,
+        "streaming_countmin": _streaming_countmin,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
         ),
@@ -1989,6 +2037,10 @@ def oracle_sql() -> dict[str, str]:
         # oracle verbatim (same per-(id,key) rows at any slicing)
         "streaming_bloom": _bloom_membership_sql(),
         "countmin_hitters": sketch.countmin_heavy_hitters_sql(),
+        # the streaming twin maintains the identical counter table
+        # (counter maintenance is a streaming SUM), so the batch oracle
+        # is its oracle verbatim
+        "streaming_countmin": sketch.countmin_heavy_hitters_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(
             batch_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 = 0",
             corpus_cte=f"SELECT * FROM ({_INC_DOCS_SQL}) WHERE doc_id % 5 <> 0",

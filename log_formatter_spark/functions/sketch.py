@@ -262,6 +262,79 @@ def _cm_col(key, r: int, width: int):
     return md5_60(F.concat(F.lit(f"cm{r}:"), key)) % width
 
 
+def _cm_col_case(key, depth: int, width: int):
+    """One counter-column expression per depth row keyed by the SAME
+    salt family the probe uses — a CASE over ``r`` keeps it a single
+    codegen projection, with the LAST branch as the otherwise so the
+    join key is provably non-nullable (a nullable computed key makes
+    Catalyst push isnotnull below the projection and re-evaluate it per
+    row — the similarity_ivf lesson, guarded by the catalog plan
+    test)."""
+    expr = _cm_col(key, depth - 1, width)
+    for r in range(depth - 2, -1, -1):
+        expr = F.when(F.col("r") == r, _cm_col(key, r, width)).otherwise(expr)
+    return expr
+
+
+def cm_shingles(
+    docs: DataFrame,
+    n: int = CM_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → n-gram occurrence stream. Explode-only (stateless), so
+    it runs identically on a batch frame and a STREAMING frame — the
+    one-definition rule the streaming Count-Min twin depends on."""
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    return shingle_df(
+        docs, n=n, text_col=text_col, id_col=id_col, distinct=False
+    ).select("shingle")
+
+
+def cm_counters(
+    sh: DataFrame, width: int = CM_WIDTH, depth: int = CM_DEPTH
+) -> DataFrame:
+    """``depth × width`` Count-Min counter table from an n-gram stream:
+    one groupBy(r, col) count with map-side partials. The aggregate is a
+    SUM — associative and commutative — so Structured Streaming
+    maintains it in complete mode with bounded, data-independent state
+    (exactly ``depth × width`` rows) and any micro-batch slicing lands
+    on the batch counter table exactly (pinned in tests/test_countmin
+    and hash-graded by the streaming_countmin contract row)."""
+    rows = sh.select(
+        "shingle",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    return rows.select(
+        "r", _cm_col_case(F.col("shingle"), depth, width).alias("col")
+    ).groupBy("r", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cm_probe(
+    cand: DataFrame,
+    counters: DataFrame,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """Point-query the counter table for every candidate ``(shingle,
+    exact_count)`` row: min of the ``depth`` counters, broadcast join
+    (the counter table is sketch-sized by construction)."""
+    probe = cand.select(
+        "shingle",
+        "exact_count",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    probe = probe.withColumn(
+        "col", _cm_col_case(F.col("shingle"), depth, width)
+    ).join(F.broadcast(counters), ["r", "col"])
+    return probe.groupBy("shingle", "exact_count").agg(
+        F.min("cnt").alias("est_count")
+    ).select("shingle", "est_count", "exact_count")
+
+
 def countmin_heavy_hitters(
     docs: DataFrame,
     width: int = CM_WIDTH,
@@ -288,48 +361,16 @@ def countmin_heavy_hitters(
     probes the sketch alone and this operator is how you validate the
     width/depth choice before trusting it). est ≥ exact is a theorem;
     the test suite pins it, plus the estimate-error distribution the
-    width controls."""
-    from log_formatter_spark.functions.shingles import shingle_df
-
-    sh = shingle_df(
-        docs, n=n, text_col=text_col, id_col=id_col, distinct=False
-    ).select("shingle")
+    width controls. Decomposed into :func:`cm_shingles` /
+    :func:`cm_counters` / :func:`cm_probe` so the streaming twin runs
+    the LITERAL same counter maintenance (one-definition rule)."""
+    sh = cm_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     exact = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
-    rows = sh.select(
-        "shingle",
-        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
-    )
-    # one column expression per depth row keyed by the SAME salt family
-    # the probe uses — a CASE over r keeps it a single codegen
-    # projection, with the LAST branch as the otherwise so the join key
-    # is provably non-nullable (a nullable computed key makes Catalyst
-    # push isnotnull below the projection and re-evaluate it per row —
-    # the similarity_ivf lesson, guarded by the catalog plan test)
-    def _col_case(key):
-        expr = _cm_col(key, depth - 1, width)
-        for r in range(depth - 2, -1, -1):
-            expr = F.when(F.col("r") == r, _cm_col(key, r, width)).otherwise(expr)
-        return expr
-
-    counters = rows.select(
-        "r", _col_case(F.col("shingle")).alias("col")
-    ).groupBy("r", "col").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    counters = cm_counters(sh, width=width, depth=depth)
     cand = exact.where(F.col("exact_count") >= min_count)
-    probe = cand.select(
-        "shingle",
-        "exact_count",
-        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
-    )
-    probe = probe.withColumn("col", _col_case(F.col("shingle"))).join(
-        F.broadcast(counters), ["r", "col"]
-    )
-    return probe.groupBy("shingle", "exact_count").agg(
-        F.min("cnt").alias("est_count")
-    ).select("shingle", "est_count", "exact_count")
+    return cm_probe(cand, counters, width=width, depth=depth)
 
 
 def countmin_heavy_hitters_sql(

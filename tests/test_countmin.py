@@ -43,6 +43,47 @@ def test_wider_sketch_reduces_total_error(docs, out):
     assert {r["shingle"] for r in wide} == {r["shingle"] for r in out}
 
 
+def test_streaming_counters_match_batch_any_slicing(spark, tmp_path):
+    """Counter maintenance is a streaming SUM — associative and
+    commutative — so ANY micro-batch slicing of the corpus must land on
+    the BATCH counter table exactly (the theorem the
+    streaming_countmin contract row grades at the driver)."""
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 7} w{(i * 3) % 7} w{i % 5} w{(i + 1) % 7}")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    batch = sorted(
+        tuple(r)
+        for r in sketch.cm_counters(
+            sketch.cm_shingles(spark.read.parquet(src))
+        ).collect()
+    )
+    assert len(batch) > 0
+    for mft in (1, 3):
+        q = (
+            sketch.cm_counters(
+                sketch.cm_shingles(
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", mft)
+                    .parquet(src)
+                )
+            )
+            .writeStream.format("memory")
+            .queryName(f"cm_regs_{mft}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.table(f"cm_regs_{mft}").collect())
+        assert got == batch, mft
+
+
 def test_exact_counts_on_tiny_corpus(spark):
     df = spark.createDataFrame(
         [(0, "a b a b"), (1, "a b c d")], "doc_id long, text string"
