@@ -1006,6 +1006,48 @@ def _streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _streaming_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-writer-wins compaction — the NINTH streaming ≡
+    batch equivalence, and the incremental form of the ingest
+    MERGE/upsert story: `max(struct(version))` and `count(*)` are both
+    commutative monoids, so the LITERAL batch operator
+    `compact_regenerations` runs unchanged on a complete-mode stream
+    (the strongest one-definition instance yet — not a shared helper,
+    the whole operator) and ANY micro-batch slicing of the ingest log
+    lands on the batch compacted table exactly. State is one row per
+    LOGICAL turn — bounded by the live table, not the ingest log, which
+    is the entire point of compaction: re-deliveries and regenerations
+    update a key's row instead of growing state. The row hashes against
+    the batch oracle (TRANSCRIPT_CTES + regen fixture +
+    `compact_regenerations_sql`) VERBATIM; maxFilesPerTrigger=1 over 4
+    files exercises multi-trigger maintenance with re-emitted versions
+    split across triggers."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_scompact_")
+    regen = _regen_turns(spark, sf_dir)
+    src = f"{work}/in"
+    regen.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(regen.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        compact_regenerations(stream)
+        .writeStream.format("memory")
+        .queryName("lfs_scompact_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_scompact_gate").write.mode("overwrite").parquet(
+        f"{work}/out"
+    )
+    return spark.read.parquet(f"{work}/out")
+
+
 def _kafka_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka value-decode semantics (reference kafka.go:159-173) run
     against broker-free kafka-shaped frames; every 20th turn carries a
@@ -1368,6 +1410,7 @@ _GATE_ORDER = [
     "hll_distinct_users",
     "streaming_hll_distinct",
     "streaming_countmin",
+    "streaming_compact",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1547,6 +1590,7 @@ def _catalog() -> dict[str, QueryFn]:
         # seventh streaming ≡ batch row: monotone register maintenance
         "streaming_hll_distinct": _streaming_hll_distinct,
         "streaming_countmin": _streaming_countmin,
+        "streaming_compact": _streaming_compact,
         "events_rollup": lambda s, d: olap.events_rollup(
             s.read.parquet(f"{d}/events.parquet")
         ),
@@ -2000,6 +2044,12 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": TRANSCRIPT_CTES + sft_pairs_sql(),
         "preference_pairs": TRANSCRIPT_CTES + preference_pairs_sql(),
         "compact_regenerations": TRANSCRIPT_CTES
+        + _REGEN_CTE
+        + compact_regenerations_sql("regen"),
+        # the streaming twin maintains the identical compacted table
+        # (max-struct and count are commutative monoids), so the batch
+        # oracle is its oracle verbatim
+        "streaming_compact": TRANSCRIPT_CTES
         + _REGEN_CTE
         + compact_regenerations_sql("regen"),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),

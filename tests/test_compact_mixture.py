@@ -88,6 +88,49 @@ def test_compact_drops_null_keyed_rows(spark):
     assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 0)]
 
 
+def test_streaming_compact_matches_batch_any_slicing(spark, tmp_path):
+    """max(struct) and count(*) are commutative monoids, so the LITERAL
+    batch operator runs on a complete-mode stream and ANY micro-batch
+    slicing of the ingest log lands on the batch compacted table
+    exactly (the theorem the streaming_compact contract row grades)."""
+    rows = []
+    for c in range(6):
+        for i in range(4):
+            rows.append(
+                (f"c{c}", i, "user", f"base {c}/{i}", None,
+                 f"2024-01-01 00:0{c}:0{i}")
+            )
+            if i % 2 == 0:
+                rows.append(
+                    (f"c{c}", i, "user", f"regen {c}/{i}", None,
+                     f"2024-01-01 00:0{c}:1{i}")
+                )
+    df = _turns(spark, rows)
+    src = str(tmp_path / "in")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    batch = sorted(
+        tuple(r)
+        for r in compact_regenerations(spark.read.parquet(src)).collect()
+    )
+    assert len(batch) == 24
+    for mft in (1, 3):
+        q = (
+            compact_regenerations(
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", mft)
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName(f"compact_{mft}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.table(f"compact_{mft}").collect())
+        assert got == batch, mft
+
+
 def test_temperature_quotas_hamilton_exact():
     # weights isqrt: 100->10, 49->7, 9->3; total 20; budget 10
     # floors: 100*?  10*10//20=5, 10*7//20=3, 10*3//20=1  -> sum 9
