@@ -966,8 +966,9 @@ def _streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence, and like the HLL row a theorem rather than an
     engineering property: the counter table is a per-(row, col) SUM, the
     canonical mergeable sketch, so Structured Streaming maintains it in
-    complete mode with bounded data-independent state (exactly
-    depth × width rows) and ANY micro-batch slicing of the corpus lands
+    complete mode with bounded state (at most depth × width rows —
+    only hit cells materialize, a data-independent bound) and ANY
+    micro-batch slicing of the corpus lands
     on the batch counter table exactly. One-definition rule: the stream
     runs the literal `sketch.cm_shingles` → `sketch.cm_counters` the
     batch operator runs; the exact-count candidate side (the measurement
@@ -999,7 +1000,7 @@ def _streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sketch.cm_shingles(docs).groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
-    cand = exact.where(F.col("exact_count") >= 40)
+    cand = exact.where(F.col("exact_count") >= sketch.CM_MIN_COUNT)
     sketch.cm_probe(cand, counters).write.mode("overwrite").parquet(
         f"{work}/out"
     )

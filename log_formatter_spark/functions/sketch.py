@@ -254,6 +254,7 @@ FROM hits h LEFT JOIN mem m USING ({key_col})
 CM_WIDTH = 256
 CM_DEPTH = 3
 CM_NGRAM = 2
+CM_MIN_COUNT = 40  # exact-count candidate threshold shared by op, SQL twin, streaming twin
 
 
 def _cm_col(key, r: int, width: int):
@@ -298,8 +299,9 @@ def cm_counters(
     """``depth × width`` Count-Min counter table from an n-gram stream:
     one groupBy(r, col) count with map-side partials. The aggregate is a
     SUM — associative and commutative — so Structured Streaming
-    maintains it in complete mode with bounded, data-independent state
-    (exactly ``depth × width`` rows) and any micro-batch slicing lands
+    maintains it in complete mode with bounded state (at most
+    ``depth × width`` rows — only hit cells materialize, and the bound
+    is data-independent) and any micro-batch slicing lands
     on the batch counter table exactly (pinned in tests/test_countmin
     and hash-graded by the streaming_countmin contract row)."""
     rows = sh.select(
@@ -340,7 +342,7 @@ def countmin_heavy_hitters(
     width: int = CM_WIDTH,
     depth: int = CM_DEPTH,
     n: int = CM_NGRAM,
-    min_count: int = 40,
+    min_count: int = CM_MIN_COUNT,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -378,7 +380,7 @@ def countmin_heavy_hitters_sql(
     width: int = CM_WIDTH,
     depth: int = CM_DEPTH,
     n: int = CM_NGRAM,
-    min_count: int = 40,
+    min_count: int = CM_MIN_COUNT,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
