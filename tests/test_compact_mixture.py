@@ -88,6 +88,15 @@ def test_compact_drops_null_keyed_rows(spark):
     assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 0)]
 
 
+def test_compact_empty_input(spark):
+    df = spark.createDataFrame([], _TURN_SCHEMA)
+    out = compact_regenerations(df)
+    assert out.count() == 0
+    assert out.columns == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "n_versions",
+    ]
+
+
 def test_streaming_compact_matches_batch_any_slicing(spark, tmp_path):
     """max(struct) and count(*) are commutative monoids, so the LITERAL
     batch operator runs on a complete-mode stream and ANY micro-batch

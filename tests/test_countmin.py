@@ -43,6 +43,12 @@ def test_wider_sketch_reduces_total_error(docs, out):
     assert {r["shingle"] for r in wide} == {r["shingle"] for r in out}
 
 
+def test_empty_corpus_yields_empty_report(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert sketch.countmin_heavy_hitters(df).count() == 0
+    assert sketch.cm_counters(sketch.cm_shingles(df)).count() == 0
+
+
 def test_streaming_counters_match_batch_any_slicing(spark, tmp_path):
     """Counter maintenance is a streaming SUM — associative and
     commutative — so ANY micro-batch slicing of the corpus must land on
