@@ -119,6 +119,10 @@ HEADLINE = [
     "compact_regenerations",
     "mixture_temperature",
     "hll_distinct_users",
+    # round 5 session 2: PPS Poisson sampling + snapshot diff + MMR
+    "weighted_sample",
+    "dataset_diff",
+    "mmr_select",
 ]
 
 

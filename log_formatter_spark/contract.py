@@ -1409,6 +1409,12 @@ _GATE_ORDER = [
     "compact_regenerations",
     "mixture_temperature",
     "hll_distinct_users",
+    # round-5 session-2 additions (window-placed per the freeze rule,
+    # displacing two more block-B refreshes): PPS Poisson sampling +
+    # snapshot diff
+    "weighted_sample",
+    "dataset_diff",
+    "mmr_select",
     "streaming_hll_distinct",
     "streaming_countmin",
     "streaming_compact",
@@ -1763,6 +1769,13 @@ def _catalog() -> dict[str, QueryFn]:
         "mixture_temperature": lambda s, d: corpus.mixture_temperature(
             _docs(s, d)
         ),
+        # PPS Poisson sample: inclusion probability ∝ capped token mass
+        "weighted_sample": lambda s, d: corpus.weighted_sample(_docs(s, d)),
+        # snapshot-over-snapshot delta (added/removed/changed) on the
+        # deterministic two-version fixture
+        "dataset_diff": lambda s, d: corpus.dataset_diff(
+            *corpus.diff_fixture(_docs(s, d))
+        ),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
@@ -1908,6 +1921,8 @@ def _catalog() -> dict[str, QueryFn]:
         # lexical retrieval (sparse half of hybrid search) + RRF fusion
         "bm25_topk": lambda s, d: retrieval.bm25_topk(_docs(s, d)),
         "hybrid_rrf": lambda s, d: retrieval.rrf_hybrid(_docs(s, d), _emb(s, d)),
+        # MMR diverse top-k (greedy rerank over the retrieved pool)
+        "mmr_select": lambda s, d: retrieval.mmr_select(_emb(s, d)),
         # similarity search
         "similarity_topk": lambda s, d: similarity.brute_topk(_emb(s, d), k=10),
         # n_anchors pinned (not auto-sized) for the static SQL oracle
@@ -2082,6 +2097,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": classifier.classifier_eval_sql(),
         "mixture_epochs": corpus.mixture_epochs_sql(),
         "mixture_temperature": corpus.mixture_temperature_sql(),
+        "weighted_sample": corpus.weighted_sample_sql(),
+        "dataset_diff": corpus.dataset_diff_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),
         # the streaming twin is stateless, so the BATCH oracle is its
@@ -2183,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "context_budget": TRANSCRIPT_CTES + packing.context_budget_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
+        "mmr_select": retrieval.mmr_select_sql(),
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),

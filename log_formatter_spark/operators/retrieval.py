@@ -316,3 +316,176 @@ SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
 ORDER BY rrf DESC, doc_id
 LIMIT {k}
 """
+
+
+# --- MMR diverse selection ---------------------------------------------------
+
+MMR_K = 10
+MMR_POOL = 40
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Python replica of the engines' sequential-fold dot product:
+    ((0.0 + a0*b0) + a1*b1) + ... — the identical IEEE op sequence as
+    Spark's ``aggregate(zip_with(...))`` and DuckDB's ``list_reduce``,
+    so driver-side greedy scores are bit-equal to both engines (the
+    bm25 driver-side-idf discipline)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def mmr_select(
+    emb: DataFrame,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-``k``: greedily pick the
+    candidate maximizing ``relevance − max_sim_to_already_selected``
+    (Carbonell & Goldstein 1998 at λ=1/2, where the objective is the
+    exact difference of two unit-dot cosines — no float λ-mixing, so
+    the score arithmetic is two bit-exact folds and one subtraction).
+
+    The eval-set / demonstration-selection curation step: a plain
+    similarity top-k returns near-duplicates of each other; MMR trades
+    relevance against redundancy so the selected set COVERS the
+    neighborhood. Query = the corpus's lowest-id embedding (a
+    deterministic stand-in for a caller-supplied query vector).
+
+    100 TB shape — two tiers, like every reranker:
+
+    - DISTRIBUTED: unit-normalize + one relevance dot per row, then
+      ``orderBy(rel).limit(pool)`` = TakeOrderedAndProject — each scan
+      partition keeps its local top-``pool`` and only O(partitions ×
+      pool) rows merge on the driver; the corpus is never sorted or
+      shuffled. (Compose with the IVF/LSH operators to pre-restrict
+      the scanned cells at extreme scale.)
+    - DRIVER: the greedy rerank is inherently sequential in ``k`` and
+      runs over the retrieved pool only — a ``pool``-row collect, the
+      same driver-sized-artifact discipline as the LSH anchors and
+      k-means centroids. Each step is O(pool · dim) via
+      :func:`_fold_dot`, bit-identical to the unrolled SQL oracle.
+
+    Zero vectors are excluded (their unit form is NaN) via a
+    short-circuit ``exists(x ≠ 0)`` element scan — NOT ``norm > 0``,
+    whose fold-HOF predicate Catalyst pushes below the projection and
+    re-evaluates per row next to the projection's own norm (the
+    similarity_ivf isnotnull-pushdown trap, banned by the catalog plan
+    guard). ``any element ≠ 0 ⟺ Σx² > 0`` up to square underflow,
+    identically in both engines.
+    """
+    from log_formatter_spark.functions.vectors import dot, with_unit
+
+    u = with_unit(
+        emb.where(F.exists(F.col(vec_col), lambda x: x != 0.0)), id_col, vec_col
+    ).select(id_col, "uv")
+    q_row = u.orderBy(id_col).limit(1).collect()
+    if not q_row:
+        return u.select(
+            F.lit(0).cast("int").alias("sel_rank"),
+            F.col(id_col),
+            F.lit(0.0).alias("relevance"),
+            F.lit(0.0).alias("mmr_score"),
+        ).limit(0)
+    q_id, q_uv = q_row[0][0], list(q_row[0][1])
+    q_lit = F.array(*[F.lit(float(x)) for x in q_uv])
+    pool_df = (
+        u.where(F.col(id_col) != q_id)
+        .select(id_col, "uv", dot(F.col("uv"), q_lit).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    cand = [(r[0], list(r[1]), r[2]) for r in pool_df.collect()]
+    selected: list[tuple[int, float, float]] = []  # (id, rel, mmr_score)
+    sel_uvs: list[list[float]] = []
+    chosen: set = set()
+    while cand and len(selected) < k:
+        best = None
+        for cid, cuv, crel in cand:
+            if cid in chosen:
+                continue
+            score = (
+                crel
+                if not sel_uvs
+                else crel - max(_fold_dot(cuv, s) for s in sel_uvs)
+            )
+            # strict ordering (score DESC, id ASC) — ties by id
+            if best is None or score > best[1] or (score == best[1] and cid < best[0]):
+                best = (cid, score, crel, cuv)
+        if best is None:
+            break
+        chosen.add(best[0])
+        selected.append((best[0], best[2], best[1]))
+        sel_uvs.append(best[3])
+    rank_case = F.lit(None).cast("int")
+    score_case = F.lit(None).cast("double")
+    for i, (sid, _rel, scr) in enumerate(selected):
+        rank_case = F.when(F.col(id_col) == sid, F.lit(i + 1)).otherwise(rank_case)
+        score_case = F.when(F.col(id_col) == sid, F.lit(scr)).otherwise(score_case)
+    return (
+        pool_df.where(F.col(id_col).isin([s[0] for s in selected]))
+        .select(
+            rank_case.cast("int").alias("sel_rank"),
+            F.col(id_col),
+            F.col("rel").alias("relevance"),
+            score_case.alias("mmr_score"),
+        )
+    )
+
+
+def mmr_select_sql(
+    src: str = "embeddings",
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB rendering of :func:`mmr_select` — the greedy recurrence
+    unrolled into ``k`` generated CTE stages (SQL's recursive CTEs
+    forbid the per-step aggregate, so the loop is rendered, not
+    recursed): stage i picks argmax(rel − greatest(dot to s1..s{i-1}))
+    over the same top-``pool`` candidate CTE, ties by id. Every float
+    op is the shared sequential-fold dot + one subtraction, so the
+    scores hash-match the operator's driver-side greedy exactly."""
+    from log_formatter_spark.functions.vectors import dot_sql
+
+    d = dot_sql(vec_col, vec_col)
+    nz = f"len(list_filter(CAST({vec_col} AS DOUBLE[]), x -> x <> 0)) > 0"
+    u = f"""
+  SELECT {id_col}, list_transform(CAST({vec_col} AS DOUBLE[]), x -> x / _n) AS uv
+  FROM (SELECT {id_col}, {vec_col}, sqrt({d}) AS _n FROM {src} WHERE {nz})
+"""
+    rel = dot_sql("u.uv", "q.quv")
+    ctes = [
+        f"u AS MATERIALIZED ({u})",
+        f"q AS (SELECT {id_col} AS q_id, uv AS quv FROM u ORDER BY {id_col} LIMIT 1)",
+        f"""pool AS MATERIALIZED (
+  SELECT u.{id_col}, u.uv, {rel} AS rel
+  FROM u, q WHERE u.{id_col} <> q.q_id
+  ORDER BY rel DESC, u.{id_col} LIMIT {pool}
+)""",
+        f"s1 AS MATERIALIZED (SELECT {id_col}, uv, rel, rel AS score FROM pool "
+        f"ORDER BY rel DESC, {id_col} LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        sims = ", ".join(dot_sql("p.uv", f"{s}.uv") for s in prev)
+        not_in = ", ".join(f"{s}.{id_col}" for s in prev)
+        froms = ", ".join(["pool p"] + prev)
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT p.{id_col}, p.uv, p.rel, p.rel - greatest({sims}) AS score
+  FROM {froms}
+  WHERE p.{id_col} NOT IN ({not_in})
+  ORDER BY score DESC, p.{id_col} LIMIT 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS sel_rank, {id_col}, "
+        f"rel AS relevance, score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
