@@ -123,6 +123,7 @@ HEADLINE = [
     "weighted_sample",
     "dataset_diff",
     "mmr_select",
+    "mmr_select_prod",
 ]
 
 
@@ -337,6 +338,19 @@ def _semdedup_prod(spark, sf_dir):
     )
 
 
+def _mmr_prod(spark, sf_dir):
+    # production MMR: the O(corpus) pool-relevance scan runs on the
+    # Arrow/numpy einsum kernel instead of the interpreted fold (the
+    # dot_kernel swap every ANN operator exposes); the greedy rerank is
+    # pool-sized either way. The CONTRACT query keeps scorer="fold"
+    # (the only bit-exact-oracle kernel).
+    from log_formatter_spark.operators import retrieval
+
+    return retrieval.mmr_select(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), scorer="vectorized"
+    )
+
+
 BENCH_OVERRIDES = {
     "dedup_embedding_lsh": _embedding_lsh_auto,
     "semantic_decontaminate": _sem_decon_auto,
@@ -351,6 +365,7 @@ BENCH_OVERRIDES = {
     "pq_topk_trained": _pq_trained,
     "pq_topk_k16": _pq_k16_kernel,
     "hybrid_rrf_ivf": _hybrid_rrf_ivf,
+    "mmr_select_prod": _mmr_prod,
     "classifier_margin_trained": _classifier_trained,
     "exact_substring_spans": _exact_spans_raw,
     "span_dup_fraction": _span_dup_raw,

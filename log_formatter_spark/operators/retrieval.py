@@ -336,12 +336,36 @@ def _fold_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _cos_to_const(q_uv: list[float], col_name: str):
+    """ONE fused Arrow kernel: cosine of every row vector against a
+    constant unit query — dot and norm in a single Python crossing
+    (two separate dot UDFs would ship the array column twice)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    q = np.asarray(q_uv, dtype="float64")
+
+    def _cos(xs):
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.vstack(xs.to_numpy())
+        return pd.Series(
+            (X @ q) / np.sqrt(np.einsum("ij,ij->i", X, X)), index=xs.index
+        )
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings the decorator can't infer from (vectors.py rule)
+    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)(F.col(col_name))
+
+
 def mmr_select(
     emb: DataFrame,
     k: int = MMR_K,
     pool: int = MMR_POOL,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "fold",
 ) -> DataFrame:
     """Maximal-marginal-relevance diverse top-``k``: greedily pick the
     candidate maximizing ``relevance − max_sim_to_already_selected``
@@ -376,12 +400,30 @@ def mmr_select(
     similarity_ivf isnotnull-pushdown trap, banned by the catalog plan
     guard). ``any element ≠ 0 ⟺ Σx² > 0`` up to square underflow,
     identically in both engines.
+
+    ``scorer`` picks the pool-scan relevance kernel: ``"fold"``
+    (sequential HOF fold, bit-exact vs the oracle — the contract
+    default) or ``"vectorized"`` (Arrow/numpy einsum — the production
+    swap for the one O(corpus) stage; the greedy is pool-sized either
+    way and always uses the driver fold).
     """
     from log_formatter_spark.functions.vectors import dot, with_unit
 
-    u = with_unit(
-        emb.where(F.exists(F.col(vec_col), lambda x: x != 0.0)), id_col, vec_col
-    ).select(id_col, "uv")
+    nz = emb.where(F.exists(F.col(vec_col), lambda x: x != 0.0))
+    if scorer == "fold":
+        u = with_unit(nz, id_col, vec_col).select(id_col, "uv")
+    elif scorer == "vectorized":
+        # production pool scan: profiling at 100× showed the cost is the
+        # per-element INTERPRETED normalization transform (~20 s of a
+        # 23 s scan), not the dot — so the Arrow path scores the RAW
+        # vectors with ONE fused cosine kernel (q̂ is a closure
+        # constant; dot(v,q̂)/|v| ≡ dot(v̂,q̂) mathematically, not
+        # bit-identically) and only the pool rows are normalized, on
+        # the driver. Selection equality vs the fold path is pinned in
+        # tests/test_mmr.py.
+        u = nz.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("uv"))
+    else:
+        raise ValueError(f"unknown scorer {scorer!r} (use 'fold' or 'vectorized')")
     q_row = u.orderBy(id_col).limit(1).collect()
     if not q_row:
         return u.select(
@@ -390,15 +432,30 @@ def mmr_select(
             F.lit(0.0).alias("relevance"),
             F.lit(0.0).alias("mmr_score"),
         ).limit(0)
-    q_id, q_uv = q_row[0][0], list(q_row[0][1])
-    q_lit = F.array(*[F.lit(float(x)) for x in q_uv])
+    q_id, q_vec = q_row[0][0], list(q_row[0][1])
+    if scorer == "fold":
+        q_uv, rel_expr = q_vec, None
+    else:
+        qn = _fold_dot(q_vec, q_vec) ** 0.5
+        q_uv = [x / qn for x in q_vec]
+        rel_expr = _cos_to_const(q_uv, "uv")
+    if rel_expr is None:
+        q_lit = F.array(*[F.lit(float(x)) for x in q_uv])
+        rel_expr = dot(F.col("uv"), q_lit)
     pool_df = (
         u.where(F.col(id_col) != q_id)
-        .select(id_col, "uv", dot(F.col("uv"), q_lit).alias("rel"))
+        .select(id_col, "uv", rel_expr.alias("rel"))
         .orderBy(F.col("rel").desc(), F.col(id_col))
         .limit(pool)
     )
     cand = [(r[0], list(r[1]), r[2]) for r in pool_df.collect()]
+    if scorer == "vectorized":
+        # pool rows arrive raw — normalize the pool-sized list here
+        cand = [
+            (cid, [x / n for x in cuv], crel)
+            for cid, cuv, crel in cand
+            for n in (_fold_dot(cuv, cuv) ** 0.5,)
+        ]
     selected: list[tuple[int, float, float]] = []  # (id, rel, mmr_score)
     sel_uvs: list[list[float]] = []
     chosen: set = set()

@@ -101,3 +101,17 @@ def test_mmr_pool_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mmr_vectorized_scorer_selects_same_set(spark):
+    """The production Arrow einsum pool scorer must pick the same
+    documents in the same order as the oracle fold kernel (scores are
+    float-tolerance-equal, selection identical on non-adversarial
+    margins — the ivf verify="vectorized" discipline)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {(r["sel_rank"], r["vec_id"]) for r in mmr_select(emb).collect()}
+    vec = {
+        (r["sel_rank"], r["vec_id"])
+        for r in mmr_select(emb, scorer="vectorized").collect()
+    }
+    assert fold == vec
