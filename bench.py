@@ -124,6 +124,9 @@ HEADLINE = [
     "dataset_diff",
     "mmr_select",
     "mmr_select_prod",
+    # round 5 session 3: n-gram novelty + crawl-fragment stitching
+    "ngram_novelty",
+    "stitch_fragments",
 ]
 
 

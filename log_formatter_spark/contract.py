@@ -1336,6 +1336,42 @@ def _streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming n-gram novelty scoring of a document stream against the
+    static reference-corpus gram set, hash-checked against the BATCH
+    ngram_novelty oracle — the TENTH streaming ≡ batch equivalence, and
+    the first where the streaming form IS the batch definition verbatim:
+    every node below the final per-doc count aggregate (tokenize,
+    n-gram explode, gram hash, stream-static left join) is stateless,
+    so `corpus.ngram_novelty(stream, ref)` runs unchanged in complete
+    mode and its only state is one row per streamed doc. Same harness
+    discipline as the other streaming rows: maxFilesPerTrigger=1 over 4
+    input files, results round-trip through parquet so the returned
+    plan is a plain scan."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_snov_")
+    ref, new = corpus.novelty_fixture(_docs(spark, sf_dir))
+    src = f"{work}/in"
+    new.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        corpus.ngram_novelty(stream, ref)
+        .writeStream.format("memory")
+        .queryName("lfs_snov_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_snov_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _inc_docs(spark, sf_dir)
     return dedup.incremental_dedup(
@@ -1415,6 +1451,12 @@ _GATE_ORDER = [
     "weighted_sample",
     "dataset_diff",
     "mmr_select",
+    # round-5 session-3 additions (window-placed per the freeze rule,
+    # displacing three more block-B refreshes): n-gram novelty (batch +
+    # streaming twin) and crawl-fragment stitching
+    "ngram_novelty",
+    "stitch_fragments",
+    "streaming_novelty",
     "streaming_hll_distinct",
     "streaming_countmin",
     "streaming_compact",
@@ -1776,6 +1818,17 @@ def _catalog() -> dict[str, QueryFn]:
         "dataset_diff": lambda s, d: corpus.dataset_diff(
             *corpus.diff_fixture(_docs(s, d))
         ),
+        # occurrence-weighted n-gram novelty of the probe slice vs the
+        # reference corpus (memorization / re-crawl screen)
+        "ngram_novelty": lambda s, d: corpus.ngram_novelty(
+            *reversed(corpus.novelty_fixture(_docs(s, d)))
+        ),
+        # crawl-fragment stitching: tail_k(a) == head_k(b) pairs on the
+        # deterministic split-fragment fixture, boilerplate-guarded
+        "stitch_fragments": lambda s, d: corpus.stitch_candidates(
+            corpus.fragment_fixture(_docs(s, d))
+        ),
+        "streaming_novelty": _streaming_novelty,
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
@@ -2099,6 +2152,12 @@ def oracle_sql() -> dict[str, str]:
         "mixture_temperature": corpus.mixture_temperature_sql(),
         "weighted_sample": corpus.weighted_sample_sql(),
         "dataset_diff": corpus.dataset_diff_sql(),
+        "ngram_novelty": corpus.ngram_novelty_sql(),
+        "stitch_fragments": corpus.stitch_candidates_sql(),
+        # the streaming twin runs the batch definition verbatim (only
+        # stateful node = the final per-doc count aggregate), so the
+        # batch oracle is its oracle verbatim
+        "streaming_novelty": corpus.ngram_novelty_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),
         # the streaming twin is stateless, so the BATCH oracle is its

@@ -1853,3 +1853,293 @@ WHERE (CASE WHEN _o_id IS NULL THEN 'added'
             WHEN old_md5 <> new_md5 THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
 """
+
+
+# --- n-gram novelty vs a reference corpus ------------------------------------
+
+NOV_N = 5
+NOV_SALT = "nov:"
+
+
+def novelty_fixture(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (reference, probe) split of one documents table for
+    the novelty grading row: a salted md5 coin sends ~80% of docs to the
+    reference corpus and ~20% to the probe slice, identically in both
+    engines (the diff_fixture discipline)."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    coin = md5_60(F.concat(F.lit(NOV_SALT), F.col(id_col).cast("string"))) % 10
+    return docs.where(coin < 8), docs.where(coin >= 8)
+
+
+def ngram_novelty(
+    new: DataFrame,
+    ref: DataFrame,
+    n: int = NOV_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: for each
+    probe doc, how many of its token n-gram OCCURRENCES (positions, not
+    distinct grams — the occurrence-weighted form standard in
+    memorization analyses) never appear anywhere in the reference.
+    Output ``(id, n_grams, n_novel, novelty_pct)`` — the score that
+    separates genuinely new content from re-crawls, template spins and
+    near-verbatim quotes of already-ingested data before it is admitted
+    to a training mix.
+
+    Plan shape: the probe side explodes n-grams WITHOUT a per-doc
+    distinct (`shingle_df(distinct=False)` — the count is duplicate-
+    aware by definition, so the full-width (id, shingle) shuffle the
+    distinct would cost is skipped); both sides reduce each gram to a
+    60-bit md5 immediately, so the only wide exchange carries
+    (int64, int64). The reference side is ONE global distinct over
+    int64 gram hashes — at production scale a maintained table,
+    bucket-partitioned by ``gh`` like the band index, making the probe
+    join one-sided; a Bloom pre-filter (``functions.sketch``) turns the
+    common all-novel case map-only. Every node below the final per-doc
+    aggregate is stateless, which is what lets the STREAMING twin run
+    this exact definition unchanged (stream-static left join + one
+    bounded aggregate keyed by doc).
+
+    ``novelty_pct`` is exact integer math — ``(n_novel * 100) div
+    n_grams`` — both engines floor non-negative integer division, no
+    doubles anywhere. Docs with fewer than ``n`` tokens emit nothing
+    (no grams to judge), identically in both engines.
+    """
+    from log_formatter_spark.functions.hashing import md5_60
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    ref_g = (
+        shingle_df(ref, n=n, text_col=text_col, id_col=id_col, distinct=False)
+        .select(md5_60(F.col("shingle")).alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    new_g = shingle_df(
+        new, n=n, text_col=text_col, id_col=id_col, distinct=False
+    ).select(id_col, md5_60(F.col("shingle")).alias("gh"))
+    return (
+        new_g.join(ref_g, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("_hit").isNull(), F.lit(1))).alias("n_novel"),
+        )
+        .withColumn("novelty_pct", F.expr("(n_novel * 100) div n_grams"))
+    )
+
+
+def ngram_novelty_sql(
+    src: str = "documents",
+    n: int = NOV_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`ngram_novelty` over the
+    :func:`novelty_fixture` split — same salted coin, same n-gram
+    positions, same 60-bit gram hash, same integer percentage."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    coin = MD5_60_SQL.format(x=f"'{NOV_SALT}' || CAST({id_col} AS VARCHAR)")
+    gh = MD5_60_SQL.format(x="shingle")
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    grams = (
+        f"SELECT {id_col}, unnest(list_transform("
+        f"generate_series(1, len(toks) - {n - 1}), i -> {parts})) AS shingle\n"
+        f"  FROM (SELECT {id_col}, {toks} AS toks FROM {src}\n"
+        f"        WHERE ({coin}) % 10 {{cmp}} 8) _t"
+    )
+    return f"""
+WITH ref_g AS (
+  SELECT DISTINCT {gh} AS gh FROM ({grams.format(cmp="<")}) _rg
+),
+new_g AS (
+  SELECT {id_col}, {gh} AS gh FROM ({grams.format(cmp=">=")}) _ng
+)
+SELECT ng.{id_col} AS {id_col},
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE rg.gh IS NULL) AS n_novel,
+       (count(*) FILTER (WHERE rg.gh IS NULL) * 100) // count(*) AS novelty_pct
+FROM new_g ng LEFT JOIN ref_g rg ON ng.gh = rg.gh
+GROUP BY ng.{id_col}
+"""
+
+
+# --- crawl-fragment stitching (tail/head boundary overlap) -------------------
+
+FRAG_K = 8
+FRAG_SALT = "frag:"
+FRAG_MAX_BOUNDARY_DOCS = 4
+
+
+def fragment_fixture(
+    docs: DataFrame,
+    k: int = FRAG_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the fragments table :func:`stitch_candidates` is graded on,
+    deterministically in both engines: a salted md5 coin picks ~25% of
+    sufficiently long docs (≥ 2k tokens) and splits each into two
+    fragments that SHARE a k-token boundary — fragment A is tokens
+    ``1..m+k`` and fragment B is tokens ``m+1..n`` with ``m = n div 2``,
+    so ``tail_k(A) == head_k(B)`` exactly. Unsplit docs pass through
+    whole, giving the candidate generator a realistic majority of
+    non-matching boundaries. Fragment ids are ``2*doc_id`` (A / whole)
+    and ``2*doc_id + 1`` (B), keeping provenance recoverable."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    base = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks").cast("long"))
+    coin = md5_60(F.concat(F.lit(FRAG_SALT), F.col("_id").cast("string"))) % 4
+    is_split = (coin == 0) & (F.col("n") >= 2 * k)
+    split = base.where(is_split).withColumn("m", F.expr("n div 2"))
+    frag_a = split.select(
+        (F.col("_id") * 2).alias("frag_id"),
+        F.concat_ws(
+            " ",
+            F.slice("toks", F.lit(1), (F.col("m") + F.lit(k)).cast("int")),
+        ).alias(text_col),
+    )
+    frag_b = split.select(
+        (F.col("_id") * 2 + 1).alias("frag_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks",
+                (F.col("m") + 1).cast("int"),
+                (F.col("n") - F.col("m")).cast("int"),
+            ),
+        ).alias(text_col),
+    )
+    whole = base.where(~is_split).select(
+        (F.col("_id") * 2).alias("frag_id"),
+        F.concat_ws(" ", F.col("toks")).alias(text_col),
+    )
+    return frag_a.unionByName(frag_b).unionByName(whole)
+
+
+def stitch_candidates(
+    frags: DataFrame,
+    k: int = FRAG_K,
+    max_boundary_docs: int = FRAG_MAX_BOUNDARY_DOCS,
+    id_col: str = "frag_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-fragment stitching: find ordered pairs ``(a, b)`` where the
+    last k tokens of ``a`` equal the first k tokens of ``b`` — the
+    reassembly primitive for corpora ingested as page-size fragments
+    (truncated crawls, chat logs split at length limits, OCR page
+    breaks), where training on unstitched halves wastes the boundary
+    context and double-counts the overlap.
+
+    Plan shape: two map-only projections compute each fragment's
+    k-token head and tail strings; the only exchanges are a count
+    window per boundary value (the skew guard) and ONE string equi-join
+    tail→head. The guard drops boundary values shared by more than
+    ``max_boundary_docs`` fragments on either side — a boilerplate
+    header ("terms of service apply ...") is a hot join key that would
+    otherwise produce a quadratic blowup, the exact failure mode
+    ``ngram_jaccard``'s ``max_doc_freq`` guards against. Join equality
+    is on the literal k-token boundary string (not a hash), so pairs
+    are exact — no verification pass needed.
+    """
+    base = (
+        frags.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= k)
+    )
+    tails = base.select(
+        F.col(id_col).alias("a_id"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("n") - F.lit(k) + 1, F.lit(k))
+        ).alias("boundary"),
+    )
+    heads = base.select(
+        F.col(id_col).alias("b_id"),
+        F.concat_ws(" ", F.slice("toks", F.lit(1), F.lit(k))).alias("boundary"),
+    )
+    w = Window.partitionBy("boundary")
+    tails = (
+        tails.withColumn("_tf", F.count(F.lit(1)).over(w))
+        .where(F.col("_tf") <= max_boundary_docs)
+        .drop("_tf")
+    )
+    heads = (
+        heads.withColumn("_hf", F.count(F.lit(1)).over(w))
+        .where(F.col("_hf") <= max_boundary_docs)
+        .drop("_hf")
+    )
+    return (
+        tails.join(heads, "boundary")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "boundary")
+    )
+
+
+def stitch_candidates_sql(
+    src: str = "documents",
+    k: int = FRAG_K,
+    max_boundary_docs: int = FRAG_MAX_BOUNDARY_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`stitch_candidates` over the
+    :func:`fragment_fixture` fragments — same coin, same split points,
+    same boundary strings, same frequency guard."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    rtoks = TOKENS_SQL.format(x="text")
+    coin = MD5_60_SQL.format(x=f"'{FRAG_SALT}' || CAST(_id AS VARCHAR)")
+    return f"""
+WITH fx AS (
+  SELECT {id_col} AS _id, {toks} AS toks,
+         CAST(len({toks}) AS BIGINT) AS n
+  FROM {src}
+),
+frags AS (
+  SELECT _id * 2 AS frag_id,
+         array_to_string(list_slice(toks, 1, CAST(n // 2 + {k} AS INT)), ' ') AS text
+  FROM fx WHERE ({coin}) % 4 = 0 AND n >= {2 * k}
+  UNION ALL
+  SELECT _id * 2 + 1,
+         array_to_string(list_slice(toks, CAST(n // 2 + 1 AS INT), CAST(n AS INT)), ' ')
+  FROM fx WHERE ({coin}) % 4 = 0 AND n >= {2 * k}
+  UNION ALL
+  SELECT _id * 2, array_to_string(toks, ' ')
+  FROM fx WHERE NOT (({coin}) % 4 = 0 AND n >= {2 * k})
+),
+cand AS (
+  SELECT frag_id, {rtoks} AS toks, len({rtoks}) AS n FROM frags
+),
+eligible AS (
+  SELECT frag_id, toks, n FROM cand WHERE n >= {k}
+),
+tails AS (
+  SELECT a_id, boundary FROM (
+    SELECT frag_id AS a_id,
+           array_to_string(list_slice(toks, n - {k} + 1, n), ' ') AS boundary,
+           count(*) OVER (PARTITION BY array_to_string(list_slice(toks, n - {k} + 1, n), ' ')) AS _tf
+    FROM eligible
+  ) WHERE _tf <= {max_boundary_docs}
+),
+heads AS (
+  SELECT b_id, boundary FROM (
+    SELECT frag_id AS b_id,
+           array_to_string(list_slice(toks, 1, {k}), ' ') AS boundary,
+           count(*) OVER (PARTITION BY array_to_string(list_slice(toks, 1, {k}), ' ')) AS _hf
+    FROM eligible
+  ) WHERE _hf <= {max_boundary_docs}
+)
+SELECT t.a_id AS a_id, h.b_id AS b_id, t.boundary AS boundary
+FROM tails t JOIN heads h ON t.boundary = h.boundary
+WHERE t.a_id <> h.b_id
+"""
