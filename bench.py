@@ -127,6 +127,7 @@ HEADLINE = [
     # round 5 session 3: n-gram novelty + crawl-fragment stitching
     "ngram_novelty",
     "stitch_fragments",
+    "novelty_indexed",
 ]
 
 

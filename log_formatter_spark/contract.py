@@ -1336,6 +1336,24 @@ def _streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _novelty_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_novelty through the MATERIALIZED gram index: write the
+    reference corpus's distinct gram-hash table to parquet, read it
+    back, probe — same rows as the recompute form, so the oracle is the
+    same batch SQL. The round-trip is the point (the neardup_indexed
+    discipline): the driver hash proves the persisted artifact carries
+    everything a steady-state novelty probe needs, i.e. the reference
+    explode never has to re-run over history."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_gramidx_")
+    ref, new = corpus.novelty_fixture(_docs(spark, sf_dir))
+    corpus.write_gram_index(ref, f"{work}/idx")
+    return corpus.ngram_novelty(
+        new, ref_grams=spark.read.parquet(f"{work}/idx")
+    )
+
+
 def _streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming n-gram novelty scoring of a document stream against the
     static reference-corpus gram set, hash-checked against the BATCH
@@ -1457,6 +1475,7 @@ _GATE_ORDER = [
     "ngram_novelty",
     "stitch_fragments",
     "streaming_novelty",
+    "novelty_indexed",
     "streaming_hll_distinct",
     "streaming_countmin",
     "streaming_compact",
@@ -1829,6 +1848,8 @@ def _catalog() -> dict[str, QueryFn]:
             corpus.fragment_fixture(_docs(s, d))
         ),
         "streaming_novelty": _streaming_novelty,
+        # novelty probe through the persisted gram index (round-trip)
+        "novelty_indexed": _novelty_indexed,
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # new-batch-vs-corpus dedup on the engineered-duplicate fixture
@@ -2158,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         # stateful node = the final per-doc count aggregate), so the
         # batch oracle is its oracle verbatim
         "streaming_novelty": corpus.ngram_novelty_sql(),
+        # the indexed probe returns the recompute form's rows exactly,
+        # so the batch oracle is its oracle verbatim
+        "novelty_indexed": corpus.ngram_novelty_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "bloom_membership": _bloom_membership_sql(),
         # the streaming twin is stateless, so the BATCH oracle is its

@@ -1876,10 +1876,11 @@ def novelty_fixture(
 
 def ngram_novelty(
     new: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None = None,
     n: int = NOV_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document n-gram novelty against a reference corpus: for each
     probe doc, how many of its token n-gram OCCURRENCES (positions, not
@@ -1908,16 +1909,22 @@ def ngram_novelty(
     n_grams`` — both engines floor non-negative integer division, no
     doubles anywhere. Docs with fewer than ``n`` tokens emit nothing
     (no grams to judge), identically in both engines.
+
+    Pass ``ref_grams`` (a frame with column ``gh``, e.g. the persisted
+    :func:`gram_index` read back from parquet) to probe a maintained
+    index instead of recomputing the reference explode — the
+    steady-state ingest shape.
     """
+    if (ref is None) == (ref_grams is None):
+        raise ValueError("pass exactly one of ref / ref_grams")
     from log_formatter_spark.functions.hashing import md5_60
     from log_formatter_spark.functions.shingles import shingle_df
 
     ref_g = (
-        shingle_df(ref, n=n, text_col=text_col, id_col=id_col, distinct=False)
-        .select(md5_60(F.col("shingle")).alias("gh"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
+        gram_index(ref, n=n, text_col=text_col, id_col=id_col)
+        if ref_grams is None
+        else ref_grams.select("gh")
+    ).withColumn("_hit", F.lit(1))
     new_g = shingle_df(
         new, n=n, text_col=text_col, id_col=id_col, distinct=False
     ).select(id_col, md5_60(F.col("shingle")).alias("gh"))
@@ -1930,6 +1937,45 @@ def ngram_novelty(
         )
         .withColumn("novelty_pct", F.expr("(n_novel * 100) div n_grams"))
     )
+
+
+def gram_index(
+    ref: DataFrame,
+    n: int = NOV_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference corpus's distinct 60-bit gram-hash set — the
+    artifact :func:`ngram_novelty` probes. Persist it once per corpus
+    version (`write_gram_index`) instead of recomputing it per scoring
+    run: at production scale this is the maintained, bucket-partitioned
+    gram table the docstring above promises (the `write_band_index`
+    discipline), and ingest appends merge into it with one distinct
+    over the delta's grams — history is never re-exploded."""
+    from log_formatter_spark.functions.hashing import md5_60
+    from log_formatter_spark.functions.shingles import shingle_df
+
+    return (
+        shingle_df(ref, n=n, text_col=text_col, id_col=id_col, distinct=False)
+        .select(md5_60(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+
+
+def write_gram_index(
+    ref: DataFrame,
+    path: str,
+    n: int = NOV_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize :func:`gram_index` to parquet. Local paths get a
+    plain parquet write; a catalog-managed table would use
+    ``bucketBy("gh")`` so the novelty probe join is one-sided
+    (zero exchange on the index side), exactly like the band index."""
+    gram_index(ref, n=n, text_col=text_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def ngram_novelty_sql(

@@ -64,6 +64,8 @@ SHOWCASE = [
     ("compact_regenerations", "LWW ingest compaction (order-free max-struct, one key exchange)"),
     ("mixture_temperature", "temperature mixture draw (literal quotas, WindowGroupLimit)"),
     ("hll_distinct_users", "HyperLogLog registers (two streaming aggs, no distinct pass)"),
+    ("ngram_novelty", "n-gram novelty vs reference (int64 gram join, no probe distinct)"),
+    ("stitch_fragments", "fragment stitching (boundary equi-join, count-window guard)"),
 ]
 
 

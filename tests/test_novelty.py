@@ -106,6 +106,31 @@ def test_streaming_novelty_slicing_invariant(spark, sf_dir):
         assert got == batch, f"mft={mft} diverged from batch"
 
 
+def test_novelty_indexed_probe_equals_recompute(spark, sf_dir):
+    # probing the persisted gram index must return exactly the
+    # recompute form's rows — the artifact carries everything.
+    import pytest
+
+    from log_formatter_spark.operators.corpus import write_gram_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref, new = novelty_fixture(docs)
+    work = tempfile.mkdtemp(prefix="lfs_test_gramidx_")
+    write_gram_index(ref, f"{work}/idx")
+    via_index = sorted(
+        tuple(r)
+        for r in ngram_novelty(
+            new, ref_grams=spark.read.parquet(f"{work}/idx")
+        ).collect()
+    )
+    recompute = sorted(tuple(r) for r in ngram_novelty(new, ref).collect())
+    assert via_index == recompute
+    with pytest.raises(ValueError):
+        ngram_novelty(new)
+    with pytest.raises(ValueError):
+        ngram_novelty(new, ref, ref_grams=spark.read.parquet(f"{work}/idx"))
+
+
 # --- stitch_fragments -------------------------------------------------------
 
 
