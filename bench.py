@@ -128,6 +128,8 @@ HEADLINE = [
     "ngram_novelty",
     "stitch_fragments",
     "novelty_indexed",
+    # round 5 session 4: contrastive hard-negative mining
+    "hard_negatives",
 ]
 
 

@@ -1476,6 +1476,9 @@ _GATE_ORDER = [
     "stitch_fragments",
     "streaming_novelty",
     "novelty_indexed",
+    # round-5 session-4 addition (window-placed per the freeze rule,
+    # displacing one more refresh): contrastive hard-negative mining
+    "hard_negatives",
     "streaming_hll_distinct",
     "streaming_countmin",
     "streaming_compact",
@@ -2004,6 +2007,8 @@ def _catalog() -> dict[str, QueryFn]:
             _emb(s, d), k=10, n_anchors=similarity.N_ANCHORS
         ),
         "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
+        # contrastive hard-negative mining: ivf cells + label inequality
+        "hard_negatives": lambda s, d: similarity.hard_negatives(_emb(s, d), k=10),
         # product quantization: the compressed index + ADC search over it
         "pq_codes": lambda s, d: similarity.pq_codes(_emb(s, d)),
         "pq_topk": lambda s, d: similarity.pq_topk(_emb(s, d), k=10),
@@ -2287,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity.brute_topk_sql(k=10),
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
+        "hard_negatives": similarity.hard_negatives_sql(k=10),
         "pq_codes": similarity.pq_codes_sql(),
         "pq_topk": similarity.pq_topk_sql(k=10),
         "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),

@@ -380,6 +380,85 @@ def _argmax_cell(cents: list[tuple[int, list[float]]]):
     return F.coalesce(best.getField("cid"), F.lit(-1))
 
 
+def _cell_assign(
+    u: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_queries: int,
+    n_probe: int,
+    id_col: str,
+    ride: tuple[str, ...] = (),
+):
+    """Shared IVF candidate formation: ``(assigned, probes)``.
+
+    ``assigned`` = the corpus with its Voronoi ``cell`` (argmax centroid
+    dot); ``probes`` = per query (id < n_queries) the ``n_probe`` cells
+    with the largest centroid dot. ``ride`` columns pass through both
+    sides (probe side aliased ``q_<name>``) so callers can filter pairs
+    on query-vs-candidate attributes (hard_negatives' label rule)
+    without a join back to the input.
+
+    Two physical strategies behind one logical shape:
+    - k ≤ _CELL_EXPR_MAX_K: codegen'd per-centroid literal expressions —
+      the oracle path (bit-exact, whole-stage codegen), compile cost
+      ~O(k*dim).
+    - large k (production sqrt(n) sizing): per-centroid expressions
+      would grow the plan ~O(k*dim) literals — compile time alone was
+      12+ s at k=45. Instead the centroid MATRIX rides inside an
+      Arrow-batched kernel (one einsum per batch; on a cluster the
+      closure is torrent-broadcast with the task binary), so plan size
+      is O(1) in k and assignment stays one map-only pass.
+    """
+    if len(cents) <= _CELL_EXPR_MAX_K:
+        assigned = u.select(
+            F.col(id_col),
+            F.col("uv"),
+            *[F.col(r) for r in ride],
+            _argmax_cell(cents).alias("cell"),
+        )
+        # probe list: per query, the n_probe cells with the largest
+        # centroid dot (desc, cid desc on ties — mirrors the argmax rule)
+        probes = (
+            u.where(F.col(id_col) < n_queries)
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.col("uv").alias("qu"),
+                *[F.col(r).alias(f"q_{r}") for r in ride],
+                F.explode(_cell_structs(cents)).alias("dc"),
+            )
+            .select(
+                "q_id",
+                "qu",
+                *[f"q_{r}" for r in ride],
+                F.col("dc.d").alias("d"),
+                F.col("dc.cid").alias("cell"),
+            )
+        )
+        pw = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("cell").desc())
+        probes = (
+            probes.withColumn("prn", F.row_number().over(pw))
+            .where(F.col("prn") <= n_probe)
+            .select("q_id", "qu", *[f"q_{r}" for r in ride], "cell")
+        )
+    else:
+        assign_udf, probe_udf = _cell_kernels(cents, n_probe)
+        assigned = u.select(
+            F.col(id_col),
+            F.col("uv"),
+            *[F.col(r) for r in ride],
+            assign_udf(F.col("uv")).alias("cell"),
+        )
+        probes = (
+            u.where(F.col(id_col) < n_queries)
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.col("uv").alias("qu"),
+                *[F.col(r).alias(f"q_{r}") for r in ride],
+                F.explode(probe_udf(F.col("uv"))).alias("cell"),
+            )
+        )
+    return assigned, probes
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
@@ -424,62 +503,14 @@ def ivf_topk(
     executor-sized) and the same plan holds.
     """
     u = with_unit(emb, id_col, vec_col)
-    if n_centroids is None:
-        n_centroids = auto_centroids(emb.count())
-    if isinstance(centroids, list):
-        cents = centroids
-    elif centroids == "trained":
-        cents = train_centroids(
-            emb, n_centroids, id_col=id_col, vec_col=vec_col
-        )
-    elif centroids == "anchors":
-        cents = anchor_units(u, n_centroids, id_col=id_col)
-    else:
-        raise ValueError(f"unknown centroids mode {centroids!r}")
+    cents = resolve_centroids(
+        emb, u, n_centroids, centroids, id_col=id_col, vec_col=vec_col
+    )
     if not cents:  # empty corpus: schema-stable empty result
         return emb.sparkSession.createDataFrame(
             [], "q_id long, neighbor_id long, rank int, cos double"
         )
-    if len(cents) <= _CELL_EXPR_MAX_K:
-        # codegen'd per-centroid literal expressions — the oracle path
-        # (bit-exact, whole-stage codegen), compile cost ~O(k*dim)
-        assigned = u.select(
-            F.col(id_col), F.col("uv"), _argmax_cell(cents).alias("cell")
-        )
-        # probe list: per query, the n_probe cells with the largest
-        # centroid dot (desc, cid desc on ties — mirrors the argmax rule)
-        probes = (
-            u.where(F.col(id_col) < n_queries)
-            .select(
-                F.col(id_col).alias("q_id"),
-                F.col("uv").alias("qu"),
-                F.explode(_cell_structs(cents)).alias("dc"),
-            )
-            .select("q_id", "qu", F.col("dc.d").alias("d"), F.col("dc.cid").alias("cell"))
-        )
-        pw = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("cell").desc())
-        probes = (
-            probes.withColumn("prn", F.row_number().over(pw))
-            .where(F.col("prn") <= n_probe)
-            .select("q_id", "qu", "cell")
-        )
-    else:
-        # large k (production sqrt(n) sizing): per-centroid expressions
-        # would grow the plan ~O(k*dim) literals — compile time alone was
-        # 12+ s at k=45. Instead the centroid MATRIX rides inside an
-        # Arrow-batched kernel (one einsum per batch; on a cluster the
-        # closure is torrent-broadcast with the task binary), so plan
-        # size is O(1) in k and assignment stays one map-only pass.
-        assign_udf, probe_udf = _cell_kernels(cents, n_probe)
-        assigned = u.select(F.col(id_col), F.col("uv"), assign_udf(F.col("uv")).alias("cell"))
-        probes = (
-            u.where(F.col(id_col) < n_queries)
-            .select(
-                F.col(id_col).alias("q_id"),
-                F.col("uv").alias("qu"),
-                F.explode(probe_udf(F.col("uv"))).alias("cell"),
-            )
-        )
+    assigned, probes = _cell_assign(u, cents, n_queries, n_probe, id_col)
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cu"), "cell")
     pairs = c.join(F.broadcast(probes), on="cell").where(
         F.col("q_id") != F.col("neighbor_id")
@@ -531,6 +562,125 @@ pairs AS (
 )
 SELECT q_id, neighbor_id, rank, cos FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int | None = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    verify: str = "fold",
+    centroids: str | list = "anchors",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query (the ``n_queries`` lowest ids), the ``k`` highest-cosine
+    corpus vectors whose ``label_col`` DIFFERS from the query's — the
+    near-misses a ranker must learn to push away. Same-label neighbors
+    are presumed positives and excluded; rows with a NULL label never
+    match the inequality and so neither query nor supply negatives
+    (three-valued logic, identical in both engines — filter or backfill
+    labels upstream if NULLs should participate).
+
+    Output ``(q_id, neg_id, rank, cos, neg_label)``, rank 1..k per
+    query by cosine desc (ties broken by neg_id asc).
+
+    Candidate formation is the IVF cell machinery (:func:`_cell_assign`
+    — shared with :func:`ivf_topk`), with the label riding both sides
+    of the projection so the inequality is a post-join filter on the
+    broadcast-join output: NEVER an all-pairs scan, and no join back to
+    the input for labels. Plan shape at 100 TB is ivf_topk's: centroid
+    assignment is map-only (centroids are driver-sized literals or an
+    Arrow matrix kernel at sqrt(n) sizing), the probe side is broadcast,
+    and the only wide exchange is the final per-query top-k window.
+    Mining against ALL labels at once (every doc a query) is the same
+    plan with the ``id < n_queries`` predicate widened — per-cell work
+    stays n/k-sized. Production knobs mirror ivf_topk:
+    ``centroids="trained"`` / pre-trained list, ``n_centroids=None``
+    auto-sizing, ``verify="vectorized"`` Arrow rerank.
+    """
+    u = with_unit(emb, id_col, vec_col, extra={"lbl": F.col(label_col)})
+    cents = resolve_centroids(
+        emb, u, n_centroids, centroids, id_col=id_col, vec_col=vec_col
+    )
+    if not cents:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neg_id long, rank int, cos double, neg_label int"
+        )
+    assigned, probes = _cell_assign(
+        u, cents, n_queries, n_probe, id_col, ride=("lbl",)
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neg_id"),
+        F.col("uv").alias("cu"),
+        F.col("lbl").alias("neg_label"),
+        "cell",
+    )
+    pairs = c.join(F.broadcast(probes), on="cell").where(
+        (F.col("q_id") != F.col("neg_id")) & (F.col("q_lbl") != F.col("neg_label"))
+    )
+    from log_formatter_spark.functions.vectors import dot_kernel
+
+    kernel = dot_kernel(verify)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        pairs.select(
+            "q_id", "neg_id", "neg_label", kernel(F.col("qu"), F.col("cu")).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neg_id", "rank", "cos", "neg_label")
+    )
+
+
+def hard_negatives_sql(
+    src: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB rendering of :func:`hard_negatives` — ivf_topk_sql with
+    the label riding the unit CTE and the inequality on the pair join."""
+    d = dot_sql("v.uv", "c.cu")
+    cos = dot_sql("q.qu", "n.cu")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+ul AS (
+  SELECT u.{id_col} AS id, u.uv, e.{label_col} AS lbl
+  FROM u JOIN {src} e USING ({id_col})
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, uv AS cu
+  FROM ul ORDER BY id LIMIT {n_centroids}
+),
+dots AS (SELECT v.id, v.uv, v.lbl, c.cid, {d} AS d FROM ul v, cents c),
+assigned AS (
+  SELECT id, uv, lbl, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS q_id, uv AS qu, lbl AS q_lbl, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE id < {n_queries} AND rn <= {n_probe}
+),
+pairs AS (
+  SELECT q.q_id, n.id AS neg_id, n.lbl AS neg_label, {cos} AS cos
+  FROM (SELECT a.id, a.uv AS cu, a.lbl, a.cell FROM assigned a) n
+  JOIN probes q ON n.cell = q.cell AND q.q_id <> n.id AND q.q_lbl <> n.lbl
+)
+SELECT q_id, neg_id, rank, cos, neg_label FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS INTEGER) AS rank
   FROM pairs
 ) WHERE rank <= {k}
 """
