@@ -130,6 +130,9 @@ HEADLINE = [
     "novelty_indexed",
     # round 5 session 4: contrastive hard-negative mining
     "hard_negatives",
+    # round 5 session 5: triplet assembly + length-bucketed padding report
+    "contrastive_triplets",
+    "length_buckets",
 ]
 
 

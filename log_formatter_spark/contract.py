@@ -1482,6 +1482,11 @@ _GATE_ORDER = [
     "streaming_hll_distinct",
     "streaming_countmin",
     "streaming_compact",
+    # round-5 session-5 additions (window-placed per the freeze rule,
+    # displacing more block-B refreshes): triplet assembly and the
+    # length-bucketed padding report
+    "contrastive_triplets",
+    "length_buckets",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1991,6 +1996,11 @@ def _catalog() -> dict[str, QueryFn]:
         # training-sequence preparation
         "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
         "chunk_docs": lambda s, d: packing.chunk_docs(_docs(s, d)),
+        # bucketed-batching padding report (max_bucket pinned small so the
+        # sf0.01 fixture populates several buckets)
+        "length_buckets": lambda s, d: packing.length_buckets(
+            _docs(s, d), max_bucket=256
+        ),
         # bounded-context truncation: maximal turn suffix per budget
         "context_budget": lambda s, d: packing.context_budget(
             transcripts_from_events(s, d)
@@ -2009,6 +2019,10 @@ def _catalog() -> dict[str, QueryFn]:
         "similarity_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d), k=10),
         # contrastive hard-negative mining: ivf cells + label inequality
         "hard_negatives": lambda s, d: similarity.hard_negatives(_emb(s, d), k=10),
+        # triplet assembly: one positive x top-m hard negatives per query
+        "contrastive_triplets": lambda s, d: similarity.contrastive_triplets(
+            _emb(s, d), m=4
+        ),
         # product quantization: the compressed index + ADC search over it
         "pq_codes": lambda s, d: similarity.pq_codes(_emb(s, d)),
         "pq_topk": lambda s, d: similarity.pq_topk(_emb(s, d), k=10),
@@ -2285,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_contrast": olap.dsir_contrast_sql("source = 'src0'"),
         "pack_sequences": packing.pack_sequences_sql(),
         "chunk_docs": packing.chunk_docs_sql(),
+        "length_buckets": packing.length_buckets_sql(max_bucket=256),
         "context_budget": TRANSCRIPT_CTES + packing.context_budget_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "hybrid_rrf": retrieval.rrf_hybrid_sql(),
@@ -2293,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": similarity.lsh_topk_sql(k=10),
         "similarity_ivf": similarity.ivf_topk_sql(k=10),
         "hard_negatives": similarity.hard_negatives_sql(k=10),
+        "contrastive_triplets": similarity.contrastive_triplets_sql(m=4),
         "pq_codes": similarity.pq_codes_sql(),
         "pq_topk": similarity.pq_topk_sql(k=10),
         "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),

@@ -229,3 +229,114 @@ SELECT conv_id, turn_idx, role, n_tokens, suffix_tokens FROM (
   )
 ) WHERE suffix_tokens <= {budget}
 """
+
+
+LENGTH_MAX_BUCKET = 4096
+
+
+def length_buckets(
+    docs: DataFrame,
+    max_bucket: int = LENGTH_MAX_BUCKET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batch assembly:
+    assign every doc the smallest power-of-two sequence length that
+    holds it, then report per bucket how much of the bucket's capacity
+    real tokens fill. This is the planning step behind bucketed
+    batching (pad-to-bucket instead of pad-to-max): the report says
+    which bucket sizes carry the corpus and what padding overhead each
+    costs, so a trainer can pick its bucket boundaries from data.
+
+    Semantics: ``tok_eff = min(max(n_tokens, 1), max_bucket)`` — empty
+    docs still occupy one slot-token, docs longer than ``max_bucket``
+    are truncated to it (the trainer's behavior; they are counted in
+    ``n_truncated``). ``bucket`` = smallest power of two >= tok_eff,
+    found by an exact integer probe of the 13-element power list (no
+    float log2 — ``ceil(log2(1024))`` is an engine-sensitive 9.99…
+    trap). Per bucket: ``n_docs``, ``sum_tokens`` (of tok_eff),
+    ``capacity = bucket * n_docs``, ``pad_tokens`` (exact int), and
+    ``pad_frac`` (one double division at the very end).
+
+    100 TB plan: map-only token count + a 13-group hash aggregate —
+    partial (map-side) combine does almost all the work, the exchange
+    carries <= 13 rows per task. No joins, no window, nothing skewed
+    (the groups are bounded by construction).
+    """
+    if max_bucket & (max_bucket - 1) or max_bucket <= 0:
+        raise ValueError(f"max_bucket must be a power of two, got {max_bucket}")
+    powers = []
+    p = 1
+    while p <= max_bucket:
+        powers.append(p)
+        p *= 2
+    n = F.size(tokens(F.col(text_col))).cast("bigint")
+    tok_eff = F.least(F.greatest(n, F.lit(1)), F.lit(max_bucket))
+    plist = F.array(*[F.lit(q).cast("bigint") for q in powers])
+    bucket = F.array_min(F.filter(plist, lambda q: q >= tok_eff))
+    per_doc = docs.select(
+        bucket.alias("bucket"),
+        tok_eff.alias("tok_eff"),
+        (n > max_bucket).cast("int").alias("trunc"),
+    )
+    agg = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_eff").alias("sum_tokens"),
+        F.sum("trunc").alias("n_truncated"),
+    )
+    cap = (F.col("bucket") * F.col("n_docs")).alias("capacity")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        cap,
+        (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).alias("pad_tokens"),
+        (
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).cast("double")
+            / (F.col("bucket") * F.col("n_docs"))
+        ).alias("pad_frac"),
+        "n_truncated",
+    )
+
+
+def length_buckets_sql(
+    src: str = "documents",
+    max_bucket: int = LENGTH_MAX_BUCKET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`length_buckets` — same integer
+    power-list probe (list_min over list_filter), same end-only double
+    division; the HUGEINT sum promotions cast back to BIGINT."""
+    powers = []
+    p = 1
+    while p <= max_bucket:
+        powers.append(p)
+        p *= 2
+    plist = "[" + ", ".join(f"{q}::BIGINT" for q in powers) + "]"
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH per_doc AS (
+  SELECT list_min(list_filter({plist}, q -> q >= tok_eff)) AS bucket,
+         tok_eff,
+         CASE WHEN n > {max_bucket} THEN 1 ELSE 0 END AS trunc
+  FROM (
+    SELECT n, least(greatest(n, 1), {max_bucket}) AS tok_eff FROM (
+      SELECT CAST(len({toks}) AS BIGINT) AS n FROM {src}
+    )
+  )
+),
+agg AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok_eff) AS BIGINT) AS sum_tokens,
+         CAST(sum(trunc) AS BIGINT) AS n_truncated
+  FROM per_doc GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tokens,
+       bucket * n_docs AS capacity,
+       bucket * n_docs - sum_tokens AS pad_tokens,
+       CAST(bucket * n_docs - sum_tokens AS DOUBLE) / (bucket * n_docs) AS pad_frac,
+       n_truncated
+FROM agg
+"""

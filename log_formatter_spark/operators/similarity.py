@@ -686,6 +686,163 @@ SELECT q_id, neg_id, rank, cos, neg_label FROM (
 """
 
 
+def contrastive_triplets(
+    emb: DataFrame,
+    m: int = 4,
+    n_queries: int = 8,
+    n_centroids: int | None = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    verify: str = "fold",
+    centroids: str | list = "anchors",
+) -> DataFrame:
+    """Contrastive-training triplet assembly: for each query (the
+    ``n_queries`` lowest ids), ONE positive — the highest-cosine
+    candidate sharing the query's ``label_col`` — crossed with its
+    top-``m`` hard negatives (highest-cosine candidates whose label
+    DIFFERS), one row per (query, negative). This is the (anchor,
+    positive, negative) batch a triplet/InfoNCE ranker consumes, with
+    ``margin = pos_cos - neg_cos`` precomputed so downstream curricula
+    can sort by difficulty (small or negative margin = hard triplet).
+
+    Output ``(q_id, pos_id, neg_id, neg_rank, pos_cos, neg_cos,
+    margin)``, ``neg_rank`` 1..m by neg cosine desc (ties by neg_id
+    asc); the positive is rank-1 by cosine desc (ties by id asc).
+    Queries with no same-label candidate in their probed cells emit
+    nothing (inner semantics — a query that cannot form a positive
+    cannot form a triplet). NULL labels satisfy neither the equality
+    nor the inequality (three-valued logic, identical in the DuckDB
+    twin), so NULL-label rows never participate on either side.
+
+    Candidate formation is ONE :func:`_cell_assign` pass (shared with
+    ``ivf_topk``/``hard_negatives``) with the label riding both sides;
+    positives and negatives are two window ranks over the SAME
+    broadcast-join output, split by the label-equality flag, then
+    recombined with an equi-join on ``q_id`` (per-query positive is a
+    single row — the join is a skew-free sparse lookup). Plan shape at
+    100 TB is ivf_topk's: map-only assignment, broadcast probe join,
+    two per-query top-k windows over candidate lists bounded by
+    n_probe·(n/k). Production knobs mirror ivf_topk:
+    ``centroids=\"trained\"``, ``n_centroids=None`` auto-sizing,
+    ``verify=\"vectorized\"`` Arrow rerank.
+    """
+    u = with_unit(emb, id_col, vec_col, extra={"lbl": F.col(label_col)})
+    cents = resolve_centroids(
+        emb, u, n_centroids, centroids, id_col=id_col, vec_col=vec_col
+    )
+    empty_schema = (
+        "q_id long, pos_id long, neg_id long, neg_rank int,"
+        " pos_cos double, neg_cos double, margin double"
+    )
+    if not cents:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame([], empty_schema)
+    assigned, probes = _cell_assign(
+        u, cents, n_queries, n_probe, id_col, ride=("lbl",)
+    )
+    c = assigned.select(
+        F.col(id_col).alias("c_id"),
+        F.col("uv").alias("cu"),
+        F.col("lbl").alias("c_lbl"),
+        "cell",
+    )
+    from log_formatter_spark.functions.vectors import dot_kernel
+
+    kernel = dot_kernel(verify)
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            # three-valued: NULL on either side -> NULL flag -> neither branch
+            (F.col("q_lbl") == F.col("c_lbl")).alias("same"),
+            kernel(F.col("qu"), F.col("cu")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "same").orderBy(F.col("cos").desc(), F.col("c_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.where(F.col("same") & (F.col("rn") == 1)).select(
+        "q_id",
+        F.col("c_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = ranked.where((~F.col("same")) & (F.col("rn") <= m)).select(
+        "q_id",
+        F.col("c_id").alias("neg_id"),
+        F.col("rn").alias("neg_rank"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return pos.join(neg, on="q_id").select(
+        "q_id",
+        "pos_id",
+        "neg_id",
+        "neg_rank",
+        "pos_cos",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+def contrastive_triplets_sql(
+    src: str = "embeddings",
+    m: int = 4,
+    n_queries: int = 8,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB rendering of :func:`contrastive_triplets` —
+    hard_negatives_sql's cell CTEs with the label-equality flag
+    splitting one scored candidate set into the pos/neg ranks."""
+    d = dot_sql("v.uv", "c.cu")
+    cos = dot_sql("q.qu", "n.cu")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+ul AS (
+  SELECT u.{id_col} AS id, u.uv, e.{label_col} AS lbl
+  FROM u JOIN {src} e USING ({id_col})
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, uv AS cu
+  FROM ul ORDER BY id LIMIT {n_centroids}
+),
+dots AS (SELECT v.id, v.uv, v.lbl, c.cid, {d} AS d FROM ul v, cents c),
+assigned AS (
+  SELECT id, uv, lbl, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS q_id, uv AS qu, lbl AS q_lbl, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
+  ) WHERE id < {n_queries} AND rn <= {n_probe}
+),
+scored AS (
+  SELECT q.q_id, n.id AS c_id, q.q_lbl = n.lbl AS same, {cos} AS cos
+  FROM (SELECT a.id, a.uv AS cu, a.lbl, a.cell FROM assigned a) n
+  JOIN probes q ON n.cell = q.cell AND q.q_id <> n.id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, c_id) AS INTEGER) AS rn
+  FROM scored
+),
+pos AS (
+  SELECT q_id, c_id AS pos_id, cos AS pos_cos FROM ranked WHERE same AND rn = 1
+),
+neg AS (
+  SELECT q_id, c_id AS neg_id, rn AS neg_rank, cos AS neg_cos
+  FROM ranked WHERE NOT same AND rn <= {m}
+)
+SELECT p.q_id, p.pos_id, g.neg_id, g.neg_rank, p.pos_cos, g.neg_cos,
+       p.pos_cos - g.neg_cos AS margin
+FROM pos p JOIN neg g USING (q_id)
+"""
+
+
 def lsh_topk_sql(
     src: str = "embeddings",
     k: int = 10,
