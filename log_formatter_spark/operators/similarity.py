@@ -717,13 +717,17 @@ def contrastive_triplets(
     twin), so NULL-label rows never participate on either side.
 
     Candidate formation is ONE :func:`_cell_assign` pass (shared with
-    ``ivf_topk``/``hard_negatives``) with the label riding both sides;
-    positives and negatives are two window ranks over the SAME
-    broadcast-join output, split by the label-equality flag, then
-    recombined with an equi-join on ``q_id`` (per-query positive is a
-    single row — the join is a skew-free sparse lookup). Plan shape at
-    100 TB is ivf_topk's: map-only assignment, broadcast probe join,
-    two per-query top-k windows over candidate lists bounded by
+    ``ivf_topk``/``hard_negatives``) with the label riding both sides,
+    and the recombine is JOIN-FREE: the per-query positive is an
+    order-free struct-max (``max(struct(cos, -c_id))`` over a ``q_id``
+    window — the preference_pairs discipline) attached to every
+    candidate row, then negatives are ranked by a second window over
+    the same ``q_id`` clustering. A naive pos⋈neg self-join re-executes
+    the whole scoring subtree twice (Spark cannot reuse the exchange
+    across the differing pushed filters — measured 6 exchanges + an
+    SMJ); this form scores once behind ONE ``q_id`` exchange. Plan
+    shape at 100 TB is ivf_topk's: map-only assignment, broadcast
+    probe join, per-query windows over candidate lists bounded by
     n_probe·(n/k). Production knobs mirror ivf_topk:
     ``centroids=\"trained\"``, ``n_centroids=None`` auto-sizing,
     ``verify=\"vectorized\"`` Arrow rerank.
@@ -761,27 +765,33 @@ def contrastive_triplets(
             kernel(F.col("qu"), F.col("cu")).alias("cos"),
         )
     )
-    w = Window.partitionBy("q_id", "same").orderBy(F.col("cos").desc(), F.col("c_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    pos = ranked.where(F.col("same") & (F.col("rn") == 1)).select(
-        "q_id",
-        F.col("c_id").alias("pos_id"),
-        F.col("cos").alias("pos_cos"),
-    )
-    neg = ranked.where((~F.col("same")) & (F.col("rn") <= m)).select(
-        "q_id",
-        F.col("c_id").alias("neg_id"),
-        F.col("rn").alias("neg_rank"),
-        F.col("cos").alias("neg_cos"),
-    )
-    return pos.join(neg, on="q_id").select(
-        "q_id",
-        "pos_id",
-        "neg_id",
-        "neg_rank",
-        "pos_cos",
-        "neg_cos",
-        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    # order-free positive selection: max(struct(cos, -c_id)) = highest
+    # cosine, ties broken toward the SMALLEST c_id — deterministic under
+    # any partitioning, and attached without a join. max() skips NULLs,
+    # so non-same rows (False or NULL `same`) never contribute.
+    wq = Window.partitionBy("q_id")
+    pos_pick = F.max(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cos").alias("cos"), (-F.col("c_id")).alias("nid")),
+        )
+    ).over(wq)
+    wn = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("pos", pos_pick)
+        # ~same is NULL for NULL labels: three-valued, row drops
+        .where((~F.col("same")) & F.col("pos").isNotNull())
+        .withColumn("neg_rank", F.row_number().over(wn))
+        .where(F.col("neg_rank") <= m)
+        .select(
+            "q_id",
+            (-F.col("pos.nid")).alias("pos_id"),
+            F.col("c_id").alias("neg_id"),
+            "neg_rank",
+            F.col("pos.cos").alias("pos_cos"),
+            F.col("cos").alias("neg_cos"),
+            (F.col("pos.cos") - F.col("cos")).alias("margin"),
+        )
     )
 
 

@@ -66,6 +66,9 @@ SHOWCASE = [
     ("hll_distinct_users", "HyperLogLog registers (two streaming aggs, no distinct pass)"),
     ("ngram_novelty", "n-gram novelty vs reference (int64 gram join, no probe distinct)"),
     ("stitch_fragments", "fragment stitching (boundary equi-join, count-window guard)"),
+    ("hard_negatives", "hard-negative mining (shared IVF cell pass, label-filtered rank)"),
+    ("contrastive_triplets", "triplet assembly (ONE scored pass, join-free struct-max positive)"),
+    ("length_buckets", "bucketed-padding report (map-only count, bounded 13-group aggregate)"),
 ]
 
 
