@@ -133,6 +133,11 @@ HEADLINE = [
     # round 5 session 5: triplet assembly + length-bucketed padding report
     "contrastive_triplets",
     "length_buckets",
+    # round 5 session 6: SQ8 compressed index, containment, kappa audit
+    "sq_codes",
+    "sq_topk",
+    "containment_pairs",
+    "rater_agreement",
 ]
 
 

@@ -1487,6 +1487,14 @@ _GATE_ORDER = [
     # length-bucketed padding report
     "contrastive_triplets",
     "length_buckets",
+    # round-5 session-6 additions (window-placed per the freeze rule,
+    # displacing five more block-B refreshes): the SQ8 compressed-index
+    # family, asymmetric containment, and the label-QA kappa audit
+    "rater_agreement",
+    "sq_codes",
+    "sq_topk",
+    "ann_recall_sq",
+    "containment_pairs",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1893,6 +1901,11 @@ def _catalog() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
         ),
+        # asymmetric containment (doc-in-doc / quote detection) over the
+        # same inverted-index blocking as the Jaccard tier
+        "containment_pairs": lambda s, d: dedup.containment_pairs(
+            _docs(s, d), n=3, min_containment=0.5, max_doc_freq=NGRAM_MAX_DF
+        ),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(
             _emb(s, d), min_cos=EMBED_MIN_COS
         ),
@@ -1979,6 +1992,9 @@ def _catalog() -> dict[str, QueryFn]:
             min_cos=SEM_DECON_MIN_COS,
         ),
         "boilerplate_frac": lambda s, d: corpus.boilerplate_fraction(_docs(s, d)),
+        # label QA: Cohen's kappa between the shipping quality rule and an
+        # independent crude labeler, per source
+        "rater_agreement": lambda s, d: corpus.rater_agreement(_docs(s, d)),
         # the actionable rewrite form: corpus-common spans REMOVED
         "strip_boilerplate": lambda s, d: corpus.strip_boilerplate(_docs(s, d)),
         # the intra-doc twin: later copies of repeated spans removed
@@ -2030,6 +2046,10 @@ def _catalog() -> dict[str, QueryFn]:
         "ann_recall_ivf": lambda s, d: similarity.ann_recall(_emb(s, d), method="ivf"),
         "ann_recall_lsh": lambda s, d: similarity.ann_recall(_emb(s, d), method="lsh"),
         "ann_recall_pq": lambda s, d: similarity.ann_recall(_emb(s, d), method="pq"),
+        "ann_recall_sq": lambda s, d: similarity.ann_recall(_emb(s, d), method="sq"),
+        # scalar (int8) quantization: the codebook-free compressed tier
+        "sq_codes": lambda s, d: similarity.sq_codes(_emb(s, d)),
+        "sq_topk": lambda s, d: similarity.sq_topk(_emb(s, d)),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "multimodal_meta": lambda s, d: multimodal.media_metadata(_docs(s, d)),
@@ -2231,6 +2251,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(
             n=3, min_jaccard=NGRAM_MIN_JACCARD, max_doc_freq=NGRAM_MAX_DF
         ),
+        "containment_pairs": dedup.containment_pairs_sql(
+            n=3, min_containment=0.5, max_doc_freq=NGRAM_MAX_DF
+        ),
         "dup_families": dedup.dup_families_sql(
             max_edit=EDIT_MAX_DIST, edit_min_est=NGRAM_MIN_JACCARD
         ),
@@ -2291,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
             pre_cte=_EXPANDED_EMB_CTE,
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
+        "rater_agreement": corpus.rater_agreement_sql(),
         "strip_boilerplate": corpus.strip_boilerplate_sql(),
         "strip_repetition": corpus.strip_repetition_sql(),
         "curation_funnel": corpus.curation_funnel_sql(),
@@ -2314,6 +2338,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_ivf": similarity.ann_recall_sql(method="ivf"),
         "ann_recall_lsh": similarity.ann_recall_sql(method="lsh"),
         "ann_recall_pq": similarity.ann_recall_sql(method="pq"),
+        "ann_recall_sq": similarity.ann_recall_sql(method="sq"),
+        "sq_codes": similarity.sq_codes_sql(),
+        "sq_topk": similarity.sq_topk_sql(),
         "label_centroids": similarity.label_centroids_sql(),
         "multimodal_meta": multimodal.media_metadata_sql(),
         "multimodal_decode": multimodal.decode_features_sql(),

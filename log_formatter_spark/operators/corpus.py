@@ -2189,3 +2189,142 @@ SELECT t.a_id AS a_id, h.b_id AS b_id, t.boundary AS boundary
 FROM tails t JOIN heads h ON t.boundary = h.boundary
 WHERE t.a_id <> h.b_id
 """
+
+
+# --- inter-labeler agreement (label QA) -------------------------------------
+
+RATER_B_MIN_STOP = 0.05
+RATER_B_MAX_AVG_TOK = 8.0
+RATER_B_MIN_TOKENS = 20
+
+
+def rater_agreement(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source inter-labeler agreement — observed agreement and
+    Cohen's kappa between two keep/drop labelers, the label-QA audit a
+    training-data pipeline runs before trusting ANY labeler (heuristic,
+    classifier, or human batch): high observed agreement with kappa
+    near zero means the labelers agree only as often as chance (one is
+    uninformative); a kappa collapse in one source localizes where the
+    rules diverge.
+
+    Labeler A is the catalog's quality rule (``quality_score >=
+    MIN_QUALITY`` — the same expression family as ``corpus_filter``, so
+    this audits the shipping rule, not a copy); labeler B is an
+    independent crude rule (stopword floor + token-length ceiling +
+    minimum size). Swapping either for classifier output
+    (``classifier_margin``) or an imported human-label column is a
+    drop-in: the kappa algebra only sees two boolean columns.
+
+    Exactness: the four contingency cells are integer counts; po/pe are
+    divisions of exact integers cast to double, pe composes the four
+    marginal RATIOS (each <= 1.0 — never an integer product, so no
+    overflow at any corpus size, the rate_anomaly discipline) in pinned
+    order, and kappa = (po-pe)/nullif(1-pe, 0) — NULL (not a crash, not
+    an engine-specific inf) when pe = 1. Zero-token docs are excluded
+    on both engines (their ratio labels are NULL — the parity rule:
+    filter nulls before boolean aggregation).
+
+    One scan, one narrow (source, 2 bools) exchange with map-side
+    partial counts; output is |sources| rows."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(toks).alias("_n_tokens"),
+        tok_chars_expr(toks).alias("_tok_chars"),
+        _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+    ).where(F.col("_n_tokens") > 0)
+    a = (
+        quality_expr(F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop"))
+        >= F.lit(MIN_QUALITY)
+    )
+    stop_ratio = F.col("_n_stop") / F.col("_n_tokens")
+    avg_tok = F.col("_tok_chars") / F.col("_n_tokens")
+    b = (
+        (stop_ratio >= F.lit(RATER_B_MIN_STOP))
+        & (avg_tok <= F.lit(RATER_B_MAX_AVG_TOK))
+        & (F.col("_n_tokens") >= F.lit(RATER_B_MIN_TOKENS))
+    )
+    lab = base.select("source", a.alias("_a"), b.alias("_b"))
+    agg = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("_a") & F.col("_b"), F.lit(1))).alias("n_both_keep"),
+        F.count(F.when(F.col("_a") & ~F.col("_b"), F.lit(1))).alias("n_a_only"),
+        F.count(F.when(~F.col("_a") & F.col("_b"), F.lit(1))).alias("n_b_only"),
+        F.count(F.when(~F.col("_a") & ~F.col("_b"), F.lit(1))).alias("n_both_drop"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n_both_keep") + F.col("n_both_drop")).cast("double") / n
+    pa1 = (F.col("n_both_keep") + F.col("n_a_only")).cast("double") / n
+    pb1 = (F.col("n_both_keep") + F.col("n_b_only")).cast("double") / n
+    pa0 = (F.col("n_b_only") + F.col("n_both_drop")).cast("double") / n
+    pb0 = (F.col("n_a_only") + F.col("n_both_drop")).cast("double") / n
+    pe = pa1 * pb1 + pa0 * pb0
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_both_keep",
+        "n_a_only",
+        "n_b_only",
+        "n_both_drop",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
+    )
+
+
+def rater_agreement_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL, _stop_hits_sql
+
+    toks = TOKENS_SQL.format(x=text_col)
+    q = (
+        "0.4 * least(1.0, _n_tokens / 100.0)"
+        " + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / _n_tokens - 5.0) / 5.0)"
+        " + 0.3 * least(1.0, (_n_stop / _n_tokens) * 4.0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source,
+         CAST(len({toks}) AS INTEGER) AS _n_tokens,
+         CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _tok_chars,
+         {_stop_hits_sql(toks, STOPWORDS)} AS _n_stop
+  FROM {src}
+),
+lab AS (
+  SELECT source,
+         ({q}) >= {MIN_QUALITY} AS _a,
+         (_n_stop / _n_tokens) >= {RATER_B_MIN_STOP!r}
+           AND (_tok_chars / _n_tokens) <= {RATER_B_MAX_AVG_TOK!r}
+           AND _n_tokens >= {RATER_B_MIN_TOKENS} AS _b
+  FROM base WHERE _n_tokens > 0
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(*) FILTER (WHERE _a AND _b) AS n_both_keep,
+         count(*) FILTER (WHERE _a AND NOT _b) AS n_a_only,
+         count(*) FILTER (WHERE NOT _a AND _b) AS n_b_only,
+         count(*) FILTER (WHERE NOT _a AND NOT _b) AS n_both_drop
+  FROM lab GROUP BY source
+)
+SELECT source, n_docs, n_both_keep, n_a_only, n_b_only, n_both_drop, po, pe,
+       (po - pe) / nullif(1.0 - pe, 0.0) AS kappa
+FROM (
+  SELECT *,
+         CAST(n_both_keep + n_both_drop AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+         (CAST(n_both_keep + n_a_only AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           * (CAST(n_both_keep + n_b_only AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         + (CAST(n_b_only + n_both_drop AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           * (CAST(n_a_only + n_both_drop AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS pe
+  FROM agg
+)
+"""

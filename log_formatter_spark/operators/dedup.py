@@ -901,6 +901,103 @@ WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {min_jaccard}
 """
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — the
+    doc-in-doc detector Jaccard structurally misses. A 50-shingle quote
+    embedded verbatim in a 5000-shingle page has Jaccard ≈ 0.01 (below
+    any dedup threshold) but containment 1.0; this is the signal for
+    quote/aggregator/boilerplate-wrapper relationships, the dominant
+    near-dup family in web crawl corpora that symmetric similarity
+    leaves behind (cf. Broder's resemblance vs containment split in the
+    original shingling paper).
+
+    Candidate formation, skew guard and cost model are EXACTLY
+    :func:`ngram_jaccard_pairs`'s inverted-index blocking (shared-
+    shingle equi-join, ``max_doc_freq`` hot-shingle cutoff) — a pair
+    needs ≥1 shared shingle to score, and containment ≥ any threshold
+    implies shared shingles, so blocking loses nothing. Output adds the
+    direction: ``a_in_b`` when A is the smaller (contained) side.
+    """
+    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("inter").cast("double") / F.least("na", "nb").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            cont.alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+
+
+def containment_pairs_sql(
+    src: str = "documents",
+    n: int = 3,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> str:
+    guard = (
+        f"""sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_doc_freq})),"""
+        if max_doc_freq is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
+    return f"""
+WITH sh0 AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+{guard}
+sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+inter AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT doc_a, doc_b, na, nb, containment, direction FROM (
+  SELECT doc_a, doc_b, sa.n_sh AS na, sb.n_sh AS nb,
+         CAST(inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.{id_col}
+             JOIN sizes sb ON inter.doc_b = sb.{id_col}
+) WHERE containment >= {min_containment!r}
+"""
+
+
 # --- cluster resolution (pairs → components → survivors) ------------------
 
 

@@ -1030,8 +1030,10 @@ def ann_recall(
         )
     elif method == "pq":
         approx = pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    elif method == "sq":
+        approx = sq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     else:
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq)")
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
     exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     hits = (
         exact.select("q_id", "neighbor_id")
@@ -1059,8 +1061,10 @@ def ann_recall_sql(
         approx = pq_topk_sql(src, k=k, n_queries=n_queries)
     elif method == "lsh":
         approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
+    elif method == "sq":
+        approx = sq_topk_sql(src, k=k, n_queries=n_queries)
     else:  # mirror the DataFrame twin — a typo must not yield lsh SQL
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq)")
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
     exact = brute_topk_sql(src, k=k, n_queries=n_queries)
     return f"""
 WITH exact AS ({exact}),
@@ -1683,4 +1687,182 @@ SELECT id AS {id_col}, cell, cos_centroid,
        percent_rank() OVER (PARTITION BY cell ORDER BY cos_centroid)
          <= CAST({bottom_frac!r} AS DOUBLE) AS is_outlier
 FROM assigned
+"""
+
+
+# --- scalar (int8) quantization ---------------------------------------------
+#
+# The compressed-index family BETWEEN brute floats and PQ: one signed
+# byte per dimension (8x over float64, no codebook training), decoded
+# per dimension by a per-dim scale — the format faiss calls SQ8 and
+# most vector stores ship as their default compression tier. Where PQ
+# buys 256x at the cost of per-block codebooks and table lookups, SQ8
+# buys 8x with a single multiply per dimension and NO index structure
+# to maintain: the codes table is a drop-in narrow replacement for the
+# float column, and any scan (brute, IVF cell, LSH bucket) can run over
+# it unchanged.
+#
+# Determinism (driver-hash requirements): scales are per-dimension
+# absmax over the UNIT vectors — max/abs are exact, so Spark and DuckDB
+# derive bit-identical scales from bit-identical uv's; the code is
+# floor((x/s)*127) clamped to [-127, 127] (floor, not round: one
+# engine-independent rounding rule), and the asymmetric query score
+# folds (q_j*s_j/127)*code_j in pinned sequential order. Dequantized
+# reconstruction error is bounded by s_j/127 per dimension; recall vs
+# the exact baseline is measured in-engine by ann_recall(method="sq").
+
+
+def sq_scales(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension absmax scales over the unit vectors.
+
+    Distributed: posexplode -> groupBy(pos) -> max(abs) is one narrow
+    (int, double) exchange with map-side partial max; the collect is
+    ``dim`` rows (driver-sized by construction, same discipline as
+    anchors/centroids/codebooks), memoized on the input fingerprint."""
+    key = _memo_key(emb, "sq_scales", id_col, vec_col)
+    if key is not None and key in _ANCHOR_MEMO:
+        return _ANCHOR_MEMO[key]
+    u = with_unit(emb, id_col, vec_col)
+    rows = (
+        u.select(F.posexplode("uv"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("col"))).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    out = [float(r["s"]) for r in rows]
+    if key is not None:
+        if len(_ANCHOR_MEMO) > 64:
+            _ANCHOR_MEMO.clear()
+        _ANCHOR_MEMO[key] = out
+    return out
+
+
+def _sq_code_expr(uv, scales: list[float]):
+    """codes_j = clamp(floor((uv_j / s_j) * 127), -127, 127), 0 where the
+    dimension is identically zero (s_j = 0)."""
+    sl = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        uv,
+        sl,
+        lambda x, s: F.when(s == F.lit(0.0), F.lit(0)).otherwise(
+            F.greatest(
+                F.least(F.floor((x / s) * F.lit(127.0)).cast("int"), F.lit(127)),
+                F.lit(-127),
+            )
+        ),
+    )
+
+
+_SQ_SCALES_CTES = """
+sc AS (
+  SELECT pos, max(abs(v)) AS s FROM (
+    SELECT unnest(uv) AS v, unnest(range(1, len(uv) + 1)) AS pos FROM u
+  ) GROUP BY pos
+),
+sl AS (SELECT list(s ORDER BY pos) AS scales FROM sc)"""
+
+_SQ_CODE_SQL = (
+    "list_transform(list_zip(uv, (SELECT scales FROM sl)), "
+    "p -> CASE WHEN p[2] = 0.0 THEN 0 "
+    "ELSE greatest(least(CAST(floor((p[1] / p[2]) * 127.0) AS INTEGER), 127), -127) "
+    "END)"
+)
+
+
+def sq_codes(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes): the SQ8 index — what a 100 TB deployment WRITES
+    as its compressed vector table (array<int> here for oracle parity;
+    the storage cast to TINYINT is free). Map-only after the one narrow
+    scales aggregate; scales ride as literals, so encode never joins."""
+    scales = sq_scales(emb, id_col, vec_col)
+    if not scales:
+        return emb.sparkSession.createDataFrame([], f"{id_col} long, codes array<int>")
+    u = with_unit(emb, id_col, vec_col)
+    return u.select(id_col, _sq_code_expr(F.col("uv"), scales).alias("codes"))
+
+
+def sq_codes_sql(
+    src: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+{_SQ_SCALES_CTES}
+SELECT {id_col}, {_SQ_CODE_SQL} AS codes FROM u
+"""
+
+
+def sq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over the SQ8 codes: (q_id, neighbor_id, rank,
+    approx_cos).
+
+    Plan shape at 100 TB: the corpus side is the CODES table only; each
+    query row pre-folds its dequantization INTO the query (qs_j =
+    q_j*s_j/127), broadcast, so scoring a candidate is one dot fold
+    over (qs, codes) — the float embeddings never rescan. The broadcast
+    non-equi join is the intended compressed scan (tiny query side,
+    same allow-listed shape as pq_topk's ADC); compose with IVF cells
+    or LSH buckets for large query batches. The only wide exchange is
+    the final per-query top-k window."""
+    scales = sq_scales(emb, id_col, vec_col)
+    if not scales:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, approx_cos double"
+        )
+    u = with_unit(emb, id_col, vec_col)
+    c = u.select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq_code_expr(F.col("uv"), scales).alias("codes"),
+    )
+    sl = F.array(*[F.lit(float(s)) for s in scales])
+    q = u.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.zip_with(F.col("uv"), sl, lambda x, s: (x * s) / F.lit(127.0)).alias("qs"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), "neighbor_id")
+    return (
+        pairs.select("q_id", "neighbor_id", dot(F.col("qs"), F.col("codes")).alias("approx_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "approx_cos")
+    )
+
+
+def sq_topk_sql(
+    src: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    score = dot_sql("q.qs", "c.codes")
+    return f"""
+WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+{_SQ_SCALES_CTES},
+codes AS (SELECT {id_col}, {_SQ_CODE_SQL} AS codes FROM u),
+q AS (
+  SELECT {id_col} AS q_id,
+         list_transform(list_zip(uv, (SELECT scales FROM sl)),
+                        p -> (p[1] * p[2]) / 127.0) AS qs
+  FROM u WHERE {id_col} < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, c.{id_col} AS neighbor_id, {score} AS approx_cos
+  FROM codes c, q WHERE q.q_id <> c.{id_col}
+)
+SELECT q_id, neighbor_id, rank, approx_cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+) WHERE rank <= {k}
 """

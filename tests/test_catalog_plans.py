@@ -25,6 +25,10 @@ from log_formatter_spark import contract
 CROSS_PRODUCT_OK = {
     "dedup_embedding", "similarity_topk", "hybrid_rrf",
     "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq", "pq_topk",
+    #   sq_topk          — same shape as pq_topk: the broadcast non-equi
+    #                      join IS the compressed scan (tiny query side,
+    #                      corpus side reads int8 codes only)
+    "ann_recall_sq", "sq_topk",
 }
 
 # streaming_pipeline_counts executes a full streaming job on call, and
