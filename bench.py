@@ -133,11 +133,14 @@ HEADLINE = [
     # round 5 session 5: triplet assembly + length-bucketed padding report
     "contrastive_triplets",
     "length_buckets",
-    # round 5 session 6: SQ8 compressed index, containment, kappa audit
+    # round 5 session 6: SQ8 compressed index, containment, kappa audit,
+    # water-filling budget allocation, per-source quality calibration
     "sq_codes",
     "sq_topk",
     "containment_pairs",
     "rater_agreement",
+    "token_budget_fill",
+    "quality_calibration",
 ]
 
 

@@ -1495,6 +1495,8 @@ _GATE_ORDER = [
     "sq_topk",
     "ann_recall_sq",
     "containment_pairs",
+    "token_budget_fill",
+    "quality_calibration",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1995,6 +1997,10 @@ def _catalog() -> dict[str, QueryFn]:
         # label QA: Cohen's kappa between the shipping quality rule and an
         # independent crude labeler, per source
         "rater_agreement": lambda s, d: corpus.rater_agreement(_docs(s, d)),
+        # water-filling token allocation under a per-source repeat cap
+        "token_budget_fill": lambda s, d: corpus.token_budget_fill(_docs(s, d)),
+        # per-source percentile calibration of the quality score
+        "quality_calibration": lambda s, d: corpus.quality_calibration(_docs(s, d)),
         # the actionable rewrite form: corpus-common spans REMOVED
         "strip_boilerplate": lambda s, d: corpus.strip_boilerplate(_docs(s, d)),
         # the intra-doc twin: later copies of repeated spans removed
@@ -2315,6 +2321,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_frac": corpus.boilerplate_fraction_sql(),
         "rater_agreement": corpus.rater_agreement_sql(),
+        "token_budget_fill": corpus.token_budget_fill_sql(),
+        "quality_calibration": corpus.quality_calibration_sql(),
         "strip_boilerplate": corpus.strip_boilerplate_sql(),
         "strip_repetition": corpus.strip_repetition_sql(),
         "curation_funnel": corpus.curation_funnel_sql(),

@@ -2328,3 +2328,232 @@ FROM (
   FROM agg
 )
 """
+
+
+# --- token-budget water-filling (mixture planning under repeat caps) --------
+
+BUDGET_FILL_TOKENS = 200_000
+BUDGET_FILL_MAX_EPOCHS = 4
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    budget: int = BUDGET_FILL_TOKENS,
+    max_epochs: int = BUDGET_FILL_MAX_EPOCHS,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Water-filling token allocation across sources under a repeat cap —
+    the mixture-planning rule for "spend B training tokens, never repeat
+    a source more than E times": every source's allocation rises to a
+    common water level λ except sources whose capacity (tokens × E)
+    caps out below it, whose surplus redistributes to the rest; λ is
+    chosen so the allocations sum exactly to the budget. Complements
+    :func:`mixture_temperature` (which sets DOC quotas ∝ n^α with no
+    capacity notion): this is the allocator that answers "can the
+    budget be met at all, and who absorbs the slack when a tail source
+    runs dry".
+
+    Closed form, no iteration: sort sources by capacity ascending; at
+    rank i the candidate level is (B − Σ caps below) / (sources from i
+    up), and the pivot is the FIRST rank whose own capacity reaches its
+    candidate level — below the pivot every source is capped, at and
+    above it every source gets λ = the pivot's level. When B exceeds
+    total capacity there is no pivot and every source caps out (the
+    ``filled`` column is how the caller detects the shortfall).
+
+    Exactness: token totals and capacities are exact integers; each
+    candidate level is ONE division of exact integers cast to double,
+    and pivot selection compares those identical doubles in both
+    engines. Windows order by (capacity, source) — a strict total
+    order. Scale: per-source totals are a map-side-combined aggregate;
+    the unpartitioned windows run over |sources| rows (a bounded
+    vocabulary — the driver-sized discipline, in-engine here because
+    the algebra is window-expressible). Zero-token sources carry no
+    capacity and are excluded on both engines."""
+    from log_formatter_spark.functions.text import tokens
+
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).alias("_t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_t").alias("tokens"))
+        .where(F.col("tokens") > 0)
+        .select("source", "tokens", (F.col("tokens") * F.lit(max_epochs)).alias("cap"))
+    )
+    w = Window.orderBy("cap", "source")
+    wall = Window.orderBy("cap", "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "source",
+        "tokens",
+        "cap",
+        F.row_number().over(w).alias("_rk"),
+        F.coalesce(
+            F.sum("cap").over(
+                Window.orderBy("cap", "source").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_below"),
+        F.count(F.lit(1)).over(wall).alias("_s"),
+    )
+    level = (F.lit(int(budget)) - F.col("_below")).cast("double") / (
+        F.col("_s") - F.col("_rk") + F.lit(1)
+    ).cast("double")
+    cand = ranked.withColumn("_level", level)
+    pivot = F.min(
+        F.when(F.col("_level") <= F.col("cap").cast("double"), F.col("_rk"))
+    ).over(wall)
+    lam = F.max(
+        F.when(F.col("_rk") == F.col("_pivot"), F.col("_level"))
+    ).over(wall)
+    out = (
+        cand.withColumn("_pivot", pivot)
+        .withColumn("_lam", lam)
+        .select(
+            "source",
+            "tokens",
+            "cap",
+            F.when(
+                F.col("_pivot").isNull() | (F.col("_rk") < F.col("_pivot")),
+                F.col("cap").cast("double"),
+            )
+            .otherwise(F.col("_lam"))
+            .alias("alloc"),
+            (F.col("_pivot").isNotNull() & (F.col("_rk") >= F.col("_pivot"))).alias(
+                "filled"
+            ),
+        )
+    )
+    return out.withColumn("epochs", F.col("alloc") / F.col("tokens").cast("double"))
+
+
+def token_budget_fill_sql(
+    src: str = "documents",
+    budget: int = BUDGET_FILL_TOKENS,
+    max_epochs: int = BUDGET_FILL_MAX_EPOCHS,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH per AS (
+  SELECT source, tokens, tokens * {max_epochs} AS cap FROM (
+    SELECT {source_col} AS source,
+           CAST(sum(CAST(len({toks}) AS INTEGER)) AS BIGINT) AS tokens
+    FROM {src} GROUP BY {source_col}
+  ) WHERE tokens > 0
+),
+ranked AS (
+  SELECT source, tokens, cap,
+         CAST(row_number() OVER (ORDER BY cap, source) AS INTEGER) AS _rk,
+         COALESCE(CAST(sum(cap) OVER (ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS _below,
+         CAST(count(*) OVER () AS INTEGER) AS _s
+  FROM per
+),
+cand AS (
+  SELECT *,
+         CAST({int(budget)} - _below AS DOUBLE) / CAST(_s - _rk + 1 AS DOUBLE) AS _level
+  FROM ranked
+),
+pv AS (
+  SELECT *,
+         min(CASE WHEN _level <= CAST(cap AS DOUBLE) THEN _rk END) OVER () AS _pivot
+  FROM cand
+),
+lm AS (
+  SELECT *, max(CASE WHEN _rk = _pivot THEN _level END) OVER () AS _lam FROM pv
+)
+SELECT source, tokens, cap,
+       CASE WHEN _pivot IS NULL OR _rk < _pivot THEN CAST(cap AS DOUBLE)
+            ELSE _lam END AS alloc,
+       (_pivot IS NOT NULL AND _rk >= _pivot) AS filled,
+       CASE WHEN _pivot IS NULL OR _rk < _pivot THEN CAST(cap AS DOUBLE)
+            ELSE _lam END / CAST(tokens AS DOUBLE) AS epochs
+FROM lm
+"""
+
+
+# --- per-source quality calibration ------------------------------------------
+
+
+def quality_calibration(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source percentile calibration of the quality score: a doc's
+    ``pct_in_source`` is its percent_rank WITHIN its ingest source —
+    the score that makes a single keep-threshold comparable across
+    sources whose raw-score distributions differ (a 0.6 from a
+    boilerplate-heavy crawl and a 0.6 from curated text are not the
+    same animal; their 80th percentiles are). Complements
+    ``quality_deciles`` (global token-mass bands): this is the
+    per-source rank transform mixture builders threshold on.
+
+    Exactness: percent_rank over the strict total order
+    (quality_score, doc_id) — no rank ties, so percent_rank ==
+    (row_number-1)/(n-1), one exact-integer division per row;
+    single-doc sources get 0.0 in both engines (pinned by test).
+    Zero-token docs are excluded before ranking (NULL-score parity
+    rule). The per-source sort is the honest cost (it sorts a NARROW
+    (source, score, id) projection); the production swap at extreme
+    scale is per-source approx-quantile thresholds + a map-only bucket
+    lookup, same output contract with sketch-accuracy boundaries."""
+    toks = tokens(F.col(text_col))
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.size(toks).alias("_n_tokens"),
+            tok_chars_expr(toks).alias("_tok_chars"),
+            _stop_hits(toks, STOPWORDS).alias("_n_stop"),
+        )
+        .where(F.col("_n_tokens") > 0)
+        .select(
+            id_col,
+            "source",
+            quality_expr(
+                F.col("_n_tokens"), F.col("_tok_chars"), F.col("_n_stop")
+            ).alias("quality_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", id_col)
+    return scored.select(
+        id_col, "source", "quality_score", F.percent_rank().over(w).alias("pct_in_source")
+    )
+
+
+def quality_calibration_sql(
+    src: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    from log_formatter_spark.functions.text import TOKENS_SQL, _stop_hits_sql
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {source_col} AS source,
+         CAST(len({toks}) AS INTEGER) AS _n_tokens,
+         CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _tok_chars,
+         {_stop_hits_sql(toks, STOPWORDS)} AS _n_stop
+  FROM {src}
+),
+scored AS (
+  SELECT {id_col}, source,
+         0.4 * least(1.0, _n_tokens / 100.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(_tok_chars / _n_tokens - 5.0) / 5.0)
+       + 0.3 * least(1.0, (_n_stop / _n_tokens) * 4.0) AS quality_score
+  FROM base WHERE _n_tokens > 0
+)
+SELECT {id_col}, source, quality_score,
+       percent_rank() OVER (PARTITION BY source ORDER BY quality_score, {id_col}) AS pct_in_source
+FROM scored
+"""
