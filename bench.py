@@ -141,6 +141,7 @@ HEADLINE = [
     "rater_agreement",
     "token_budget_fill",
     "quality_calibration",
+    "containment_probe",
 ]
 
 

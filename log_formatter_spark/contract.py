@@ -857,6 +857,57 @@ def _streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def _containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite ingest-containment gate: new docs (doc_id % 5 == 0)
+    probed against the standing corpus for n-gram containment."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_probe(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        n=3,
+        min_containment=0.5,
+    )
+
+
+def _streaming_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming containment ingest gate against the static corpus
+    shingle index, hash-checked against the batch containment_probe
+    oracle — the ELEVENTH streaming ≡ batch equivalence shipped as a
+    driver row, and (like streaming_novelty) one where the streaming
+    form is the batch definition verbatim: everything below the final
+    (batch_doc, corpus_doc) pair aggregate is stateless. Same harness
+    discipline as the other streaming rows: maxFilesPerTrigger=1 over 2
+    input files (one trigger boundary — pair state from trigger 1 must
+    survive into trigger 2's complete-mode table), results round-trip
+    through parquet so the returned plan is a plain scan."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="lfs_contract_containment_")
+    docs = _docs(spark, sf_dir)
+    src = f"{work}/in"
+    docs.where(F.col("doc_id") % 5 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup.containment_probe(
+            stream, docs.where(F.col("doc_id") % 5 != 0), n=3, min_containment=0.5
+        )
+        .writeStream.format("memory")
+        .queryName("lfs_containment_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table("lfs_containment_gate").write.mode("overwrite").parquet(f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
+
+
 def _attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_formatter_spark.operators.asof import attribution_window
 
@@ -1497,6 +1548,8 @@ _GATE_ORDER = [
     "containment_pairs",
     "token_budget_fill",
     "quality_calibration",
+    "containment_probe",
+    "streaming_containment",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1947,6 +2000,8 @@ def _catalog() -> dict[str, QueryFn]:
         # incremental_neardup SQL — max over band collisions renders
         # the batch twin's distinct() order-free)
         "streaming_neardup": _streaming_neardup,
+        "containment_probe": _containment_probe,
+        "streaming_containment": _streaming_containment,
         # probe through the PERSISTED band index (same oracle: the
         # round-trip must be row-identical to the recompute form)
         "neardup_indexed": _neardup_indexed,
@@ -2290,6 +2345,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents WHERE doc_id % 5 = 0",
             "SELECT * FROM documents WHERE doc_id % 5 <> 0",
             n=3,
+        ),
+        "containment_probe": dedup.containment_probe_sql(
+            "SELECT * FROM documents WHERE doc_id % 5 = 0",
+            "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+            n=3,
+            min_containment=0.5,
+        ),
+        "streaming_containment": dedup.containment_probe_sql(
+            "SELECT * FROM documents WHERE doc_id % 5 = 0",
+            "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+            n=3,
+            min_containment=0.5,
         ),
         "neardup_indexed": dedup.incremental_neardup_sql(
             "SELECT * FROM documents WHERE doc_id % 5 = 0",

@@ -998,6 +998,100 @@ SELECT doc_a, doc_b, na, nb, containment, direction FROM (
 """
 
 
+def containment_probe(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time containment gate: for each incoming BATCH doc, every
+    CORPUS doc that already contains ≥ ``min_containment`` of its
+    n-gram set — ``(batch_doc, corpus_doc, n_sh, inter, containment)``
+    with containment = |batch ∩ corpus doc| / |batch| ("how much of
+    this new doc do we already have?"). The bipartite twin of
+    :func:`containment_pairs` and the quote/inclusion analogue of
+    :func:`incremental_neardup`: Jaccard-style probes pass a short doc
+    fully embedded in a long corpus page; this is the gate that
+    rejects it.
+
+    Streaming-ready by construction (the ``streaming_novelty``
+    discipline — the streaming form IS this definition): the batch
+    side's shingle set builds as a per-ROW array (no groupBy-over-
+    shingles, which would be unbounded keyed state on a stream), its
+    size rides the explode, the corpus index is the join's build side
+    (at production scale the maintained bucketed shingle table, the
+    gram-index discipline), and the ONLY aggregate is the final
+    (batch_doc, corpus_doc) pair count — on a stream, exactly the
+    emitted-pairs state, deterministic at any micro-batch slicing.
+    ``max(n_sh)`` is the order-free rendering of "n_sh is constant per
+    batch doc"."""
+    base = batch.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
+        F.size("_toks") >= n
+    )
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + F.lit(k)) for k in range(n)]
+            ),
+        )
+    )
+    b = base.select(F.col(id_col).alias("batch_doc"), sh_arr.alias("_sh")).select(
+        "batch_doc", F.size("_sh").alias("_n_sh"), F.explode("_sh").alias("shingle")
+    )
+    c = shingle_df(corpus, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("corpus_doc"), "shingle"
+    )
+    agg = (
+        b.join(c, "shingle")
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("inter"), F.max("_n_sh").alias("n_sh"))
+    )
+    cont = F.col("inter").cast("double") / F.col("n_sh").cast("double")
+    return agg.select(
+        "batch_doc", "corpus_doc", "n_sh", "inter", cont.alias("containment")
+    ).where(F.col("containment") >= min_containment)
+
+
+def containment_probe_sql(
+    batch_cte: str,
+    corpus_cte: str,
+    n: int = 3,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering; ``batch_cte``/``corpus_cte`` are SELECT bodies."""
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    parts = " || ' ' || ".join(f"_toks[i + {k}]" for k in range(n))
+    return f"""
+WITH bt AS (
+  SELECT {id_col} AS batch_doc,
+         list_distinct(list_transform(generate_series(1, len(_toks) - {n - 1}), i -> {parts})) AS _sh
+  FROM (SELECT {id_col}, {toks} AS _toks FROM ({batch_cte}) _bsrc) _bt
+  WHERE len(_toks) >= {n}
+),
+b AS (SELECT batch_doc, CAST(len(_sh) AS INTEGER) AS _n_sh, unnest(_sh) AS shingle FROM bt),
+c AS (
+  SELECT {id_col} AS corpus_doc, shingle
+  FROM ({shingles_sql(f"({corpus_cte}) _csrc", n=n, text_col=text_col, id_col=id_col)})
+),
+agg AS (
+  SELECT batch_doc, corpus_doc, count(*) AS inter, max(_n_sh) AS n_sh
+  FROM b JOIN c USING (shingle)
+  GROUP BY batch_doc, corpus_doc
+)
+SELECT batch_doc, corpus_doc, n_sh, inter,
+       CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+FROM agg
+WHERE CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= {min_containment!r}
+"""
+
+
 # --- cluster resolution (pairs → components → survivors) ------------------
 
 
