@@ -142,6 +142,7 @@ HEADLINE = [
     "token_budget_fill",
     "quality_calibration",
     "containment_probe",
+    "sq_topk_ivf",
 ]
 
 
@@ -369,7 +370,23 @@ def _mmr_prod(spark, sf_dir):
     )
 
 
+def _sq_topk_ivf(spark, sf_dir):
+    # composed production ANN: IVF cell candidate formation (equi-join,
+    # auto-sized trained centroids) scored on the SQ8 codes — per-query
+    # work n_probe/k of the corpus AND no float vector at scan time.
+    # The CONTRACT query keeps candidates="all" (the oracle-exact scan).
+    from log_formatter_spark.operators import similarity
+
+    return similarity.sq_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        candidates="ivf",
+        n_centroids=None,
+        centroids="trained",
+    )
+
+
 BENCH_OVERRIDES = {
+    "sq_topk_ivf": _sq_topk_ivf,
     "dedup_embedding_lsh": _embedding_lsh_auto,
     "semantic_decontaminate": _sem_decon_auto,
     "semdedup": _semdedup_auto,

@@ -1802,6 +1802,10 @@ def sq_topk(
     n_queries: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: str = "all",
+    n_centroids: int | None = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    centroids: str | list = "anchors",
 ) -> DataFrame:
     """Asymmetric top-k over the SQ8 codes: (q_id, neighbor_id, rank,
     approx_cos).
@@ -1809,27 +1813,54 @@ def sq_topk(
     Plan shape at 100 TB: the corpus side is the CODES table only; each
     query row pre-folds its dequantization INTO the query (qs_j =
     q_j*s_j/127), broadcast, so scoring a candidate is one dot fold
-    over (qs, codes) — the float embeddings never rescan. The broadcast
-    non-equi join is the intended compressed scan (tiny query side,
-    same allow-listed shape as pq_topk's ADC); compose with IVF cells
-    or LSH buckets for large query batches. The only wide exchange is
-    the final per-query top-k window."""
+    over (qs, codes) — the float embeddings never rescan.
+
+    ``candidates="all"`` (the oracle path) scans every code row per
+    query: the broadcast non-equi join is the intended compressed scan
+    (tiny query side, same allow-listed shape as pq_topk's ADC).
+    ``candidates="ivf"`` is the composed production form for large
+    query batches: the same :func:`_cell_assign` machinery as ivf_topk
+    forms candidates (map-only Voronoi assignment, broadcast probe
+    table, EQUI-join on cell), and only the probed cells' codes are
+    scored — per-query work drops to n_probe/n_centroids of the corpus
+    while the scan still never touches a float vector. With
+    ``n_probe >= n_centroids`` it degenerates to the all-scan result
+    exactly (pinned by test). The ``n_centroids=None`` auto-sizing and
+    ``centroids="trained"`` knobs mirror ivf_topk. The only wide
+    exchange in either form is the final per-query top-k window."""
     scales = sq_scales(emb, id_col, vec_col)
     if not scales:
         return emb.sparkSession.createDataFrame(
             [], "q_id long, neighbor_id long, rank int, approx_cos double"
         )
     u = with_unit(emb, id_col, vec_col)
-    c = u.select(
-        F.col(id_col).alias("neighbor_id"),
-        _sq_code_expr(F.col("uv"), scales).alias("codes"),
-    )
     sl = F.array(*[F.lit(float(s)) for s in scales])
-    q = u.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"),
-        F.zip_with(F.col("uv"), sl, lambda x, s: (x * s) / F.lit(127.0)).alias("qs"),
-    )
-    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+    qs_of = lambda col: F.zip_with(col, sl, lambda x, s: (x * s) / F.lit(127.0))  # noqa: E731
+    if candidates == "ivf":
+        cents = resolve_centroids(
+            emb, u, n_centroids, centroids, id_col=id_col, vec_col=vec_col
+        )
+        assigned, probes = _cell_assign(u, cents, n_queries, n_probe, id_col)
+        c = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq_code_expr(F.col("uv"), scales).alias("codes"),
+            "cell",
+        )
+        q = probes.select("q_id", qs_of(F.col("qu")).alias("qs"), "cell")
+        pairs = c.join(F.broadcast(q), on="cell").where(
+            F.col("q_id") != F.col("neighbor_id")
+        )
+    elif candidates == "all":
+        c = u.select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq_code_expr(F.col("uv"), scales).alias("codes"),
+        )
+        q = u.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"), qs_of(F.col("uv")).alias("qs")
+        )
+        pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+    else:
+        raise ValueError(f"unknown candidates {candidates!r} (all|ivf)")
     w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), "neighbor_id")
     return (
         pairs.select("q_id", "neighbor_id", dot(F.col("qs"), F.col("codes")).alias("approx_cos"))

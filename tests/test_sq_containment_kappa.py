@@ -182,3 +182,30 @@ def test_kappa_excludes_zero_token_docs(spark):
     rows = rater_agreement(df).collect()
     assert len(rows) == 1
     assert rows[0]["n_docs"] == 1
+
+
+def test_sq_topk_ivf_degenerates_to_all_scan(spark, sf_dir):
+    """With every cell probed (n_probe >= n_centroids) the IVF-composed
+    form must equal the all-scan result exactly — same candidates, same
+    scores, same ranking."""
+    from log_formatter_spark.operators.similarity import N_CENTROIDS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = {tuple(r) for r in sq_topk(emb, k=5, n_queries=4).collect()}
+    ivf = {
+        tuple(r)
+        for r in sq_topk(
+            emb, k=5, n_queries=4, candidates="ivf", n_probe=N_CENTROIDS
+        ).collect()
+    }
+    assert ivf == full
+
+
+def test_sq_topk_ivf_recall_floor(spark, sf_dir):
+    """The pruned form keeps most exact neighbors on the fixture."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = sq_topk(emb, k=10).collect()
+    ivf = sq_topk(emb, k=10, candidates="ivf").collect()
+    fp = {(r["q_id"], r["neighbor_id"]) for r in full}
+    ip = {(r["q_id"], r["neighbor_id"]) for r in ivf}
+    assert len(ip & fp) / len(fp) >= 0.5
