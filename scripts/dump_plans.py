@@ -69,6 +69,13 @@ SHOWCASE = [
     ("hard_negatives", "hard-negative mining (shared IVF cell pass, label-filtered rank)"),
     ("contrastive_triplets", "triplet assembly (ONE scored pass, join-free struct-max positive)"),
     ("length_buckets", "bucketed-padding report (map-only count, bounded 13-group aggregate)"),
+    ("sq_codes", "SQ8 encode (map-only literal-scale quantize)"),
+    ("sq_topk", "asymmetric SQ8 scan (broadcast pre-scaled queries, codes-only corpus)"),
+    ("containment_pairs", "doc-in-doc containment (inverted-index blocking, hot-shingle guard)"),
+    ("containment_probe", "bipartite ingest containment gate (stateless below pair aggregate)"),
+    ("rater_agreement", "Cohen's kappa label QA (one narrow bool exchange)"),
+    ("token_budget_fill", "water-filling budget allocation (|sources|-row windows)"),
+    ("quality_calibration", "per-source percentile calibration (narrow projection sort)"),
 ]
 
 

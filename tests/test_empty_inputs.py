@@ -185,3 +185,16 @@ def test_key_skew_report_generic_key(spark, sf_dir):
     )
     for r in rows:
         assert r["n_rows"] == plain[r["user_id"]]
+
+
+def test_round5e_ops_on_empty_docs(empty_docs):
+    assert corpus.rater_agreement(empty_docs).count() == 0
+    assert corpus.token_budget_fill(empty_docs).count() == 0
+    assert corpus.quality_calibration(empty_docs).count() == 0
+    assert dedup.containment_pairs(empty_docs).count() == 0
+    assert dedup.containment_probe(empty_docs, empty_docs).count() == 0
+
+
+def test_sq_on_empty_embeddings(empty_emb):
+    assert similarity.sq_codes(empty_emb).count() == 0
+    assert similarity.sq_topk(empty_emb).count() == 0
