@@ -143,6 +143,9 @@ HEADLINE = [
     "quality_calibration",
     "containment_probe",
     "sq_topk_ivf",
+    # round 5 session 7: leakage-safe cluster split + shared-prefix depth
+    "cluster_split",
+    "prefix_share",
 ]
 
 

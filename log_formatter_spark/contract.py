@@ -73,6 +73,8 @@ from log_formatter_spark.transcripts import (
     compact_regenerations_sql,
     preference_pairs,
     preference_pairs_sql,
+    prefix_share,
+    prefix_share_sql,
     sft_pairs,
     sft_pairs_sql,
     tool_pagerank,
@@ -294,6 +296,49 @@ _REGEN_CTE = """
   SELECT conv_id, turn_idx, role, text || ' [regen v3]' AS text, tool,
          ts + INTERVAL 2 SECOND AS ts
   FROM transcripts WHERE turn_idx % 10 = 2
+)
+"""
+
+
+# Shared-prefix fixture (the _span_docs/_regen_turns pattern: the
+# synthetic transcripts have no organically shared openings — every
+# turn text embeds its ts/user — so the query engineers them
+# identically in both engines): 40% of conversations (conv number
+# % 5 < 2) get their first k turns replaced with a canned template
+# keyed by (group = num % 5, turn_idx), where k = 2 + (num div 5) % 3
+# varies 2..4 — so shared_depth takes several non-trivial values (a
+# conv's depth = its own k, since all (group, k) classes are populated
+# at sf0.01's 150 conversations).
+
+
+def _prefix_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    num = "cast(substring(conv_id, 6, 8) as bigint)"
+    templated = F.expr(f"{num} % 5 < 2") & (
+        F.col("turn_idx") < F.expr(f"2 + ({num} div 5) % 3")
+    )
+    tmpl = F.concat(
+        F.lit("pfx turn "),
+        F.expr(f"{num} % 5").cast("string"),
+        F.lit(" "),
+        F.col("turn_idx").cast("string"),
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.when(templated, tmpl).otherwise(F.col("text")).alias("text"),
+    )
+
+
+_PREFIX_CTE = """
+, pfx_turns AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN CAST(substr(conv_id, 6, 8) AS BIGINT) % 5 < 2
+                   AND turn_idx < 2 + (CAST(substr(conv_id, 6, 8) AS BIGINT) // 5) % 3
+              THEN 'pfx turn ' || CAST(CAST(substr(conv_id, 6, 8) AS BIGINT) % 5 AS VARCHAR)
+                   || ' ' || CAST(turn_idx AS VARCHAR)
+              ELSE text END AS text
+  FROM transcripts
 )
 """
 
@@ -1550,6 +1595,11 @@ _GATE_ORDER = [
     "quality_calibration",
     "containment_probe",
     "streaming_containment",
+    # round-5 session-7 additions (window-placed per the freeze rule,
+    # displacing two more refreshes): leakage-safe cluster split and
+    # conversation shared-prefix analysis
+    "cluster_split",
+    "prefix_share",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -1809,6 +1859,9 @@ def _catalog() -> dict[str, QueryFn]:
         "tool_transitions": lambda s, d: tool_transitions(
             transcripts_from_events(s, d)
         ),
+        # shared-prefix depth per conversation (prefix-cache planning,
+        # template detection, fork-point mining)
+        "prefix_share": lambda s, d: prefix_share(_prefix_turns(s, d)),
         # stateful streaming pairs ≡ batch transitions (6th equivalence)
         "streaming_tool_transitions": _streaming_tool_transitions,
         # PageRank over the tool-handoff graph (exact fixed-point)
@@ -2023,6 +2076,11 @@ def _catalog() -> dict[str, QueryFn]:
             _docs(s, d),
             dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5),
             _dataset_split(s, d),
+        ),
+        # leakage-SAFE split: assignment at dup-cluster granularity (the
+        # fix split_contamination audits the need for)
+        "cluster_split": lambda s, d: corpus.cluster_split(
+            _docs(s, d), dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5)
         ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
         # corpus sampling (mixing-weights curation)
@@ -2243,6 +2301,10 @@ def oracle_sql() -> dict[str, str]:
         + _REGEN_CTE
         + compact_regenerations_sql("regen"),
         "tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
+        "prefix_share": TRANSCRIPT_CTES
+        + _PREFIX_CTE
+        + ",\n"
+        + prefix_share_sql("pfx_turns"),
         # the streaming pair stream aggregates to the SAME report —
         # one oracle serves both (the streaming ≡ batch contract)
         "streaming_tool_transitions": TRANSCRIPT_CTES + tool_transitions_sql(),
@@ -2367,6 +2429,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": corpus.corpus_filter_sql(),
         "split_contamination": corpus.split_contamination_sql(
             dedup.minhash_pairs_sql(n=3, min_est=0.5), _DATASET_SPLIT_SQL
+        ),
+        "cluster_split": corpus.cluster_split_sql(
+            dedup.minhash_pairs_sql(n=3, min_est=0.5)
         ),
         "source_profile": corpus.source_profile_sql(),
         "source_quota_sample": corpus.source_quota_sample_sql(),

@@ -176,6 +176,83 @@ FROM crossed
 """
 
 
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 90,
+) -> DataFrame:
+    """Leakage-SAFE dataset split: assign train/val/test at dup-CLUSTER
+    granularity, so a document and its near-duplicates land in the same
+    split by construction. :func:`split_contamination` AUDITS the
+    leakage a per-doc hash split produces; this operator is the FIX —
+    the split key is the connected-component id from
+    :func:`~log_formatter_spark.operators.dedup.cluster_pairs`, not the
+    doc id, so no near-dup pair can ever straddle train/eval (the
+    cross-split pair set over the SAME ``pairs`` input is empty by
+    construction, pinned in tests).
+
+    The hash salt (``':split'``) and bucket thresholds match
+    contract ``_dataset_split`` exactly, and a singleton component's
+    ``cluster_id`` IS its own doc id — so the cluster split is a strict
+    refinement of the per-doc split: docs outside any dup cluster keep
+    the identical assignment, only clustered docs move (onto their
+    component minimum's bucket). Migrating an existing corpus split to
+    the safe one therefore touches exactly the contaminated docs.
+
+    Plan shape: the component labels ride the iterative CC machinery
+    (bounded rounds, see cluster_pairs); the split assignment itself is
+    one map-only projection over the labels — no extra exchange. At
+    100 TB the pair table is the (small) dedup output and the label
+    frame is one row per doc; nothing here is quadratic.
+    """
+    from log_formatter_spark.functions.hashing import md5_60
+    from log_formatter_spark.operators.dedup import cluster_pairs
+
+    labels = cluster_pairs(docs, pairs, id_col=id_col)
+    bucket = F.pmod(
+        md5_60(F.concat(F.col("cluster_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < val_pct, "val")
+        .otherwise("test")
+    )
+    return labels.select(
+        id_col,
+        "cluster_id",
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def cluster_split_sql(
+    pairs_cte: str,
+    src: str = "documents",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 90,
+) -> str:
+    """DuckDB twin of :func:`cluster_split`: recursive-CTE components
+    (a different CC algorithm than Spark's label propagation — the
+    strongest cross-engine evidence) + the same md5-bucket split rule
+    applied to ``cluster_id``."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+    from log_formatter_spark.operators.dedup import cluster_pairs_sql
+
+    h = MD5_60_SQL.format(x="(CAST(cluster_id AS VARCHAR) || ':split')")
+    return f"""
+SELECT {id_col}, cluster_id, CAST(b AS INTEGER) AS bucket,
+       CASE WHEN b < {train_pct} THEN 'train'
+            WHEN b < {val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT {id_col}, cluster_id, {h} % 100 AS b
+      FROM ({cluster_pairs_sql(pairs_cte, src=src, id_col=id_col)}))
+"""
+
+
 def source_profile(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-(source, predicted-language) corpus profile: doc counts and
     exact integer size totals — the monitoring rollup a corpus pipeline
