@@ -76,6 +76,8 @@ SHOWCASE = [
     ("rater_agreement", "Cohen's kappa label QA (one narrow bool exchange)"),
     ("token_budget_fill", "water-filling budget allocation (|sources|-row windows)"),
     ("quality_calibration", "per-source percentile calibration (narrow projection sort)"),
+    ("cluster_split", "leakage-safe cluster split (CC labels + map-only bucket attach)"),
+    ("prefix_share", "shared-prefix depth (one conv assembly, broadcast depth attach)"),
 ]
 
 
