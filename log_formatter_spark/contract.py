@@ -1600,6 +1600,9 @@ _GATE_ORDER = [
     # conversation shared-prefix analysis
     "cluster_split",
     "prefix_share",
+    # round-5 session-8 addition (window-placed per the freeze rule,
+    # displacing one more refresh): rank-aware ANN quality (NDCG@k)
+    "ann_ndcg_ivf",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -2166,6 +2169,9 @@ def _catalog() -> dict[str, QueryFn]:
         "ann_recall_lsh": lambda s, d: similarity.ann_recall(_emb(s, d), method="lsh"),
         "ann_recall_pq": lambda s, d: similarity.ann_recall(_emb(s, d), method="pq"),
         "ann_recall_sq": lambda s, d: similarity.ann_recall(_emb(s, d), method="sq"),
+        # rank-aware index quality: NDCG@k vs the exact ranking (recall
+        # is order-blind; this grades WHERE each true neighbor landed)
+        "ann_ndcg_ivf": lambda s, d: similarity.ann_ndcg(_emb(s, d), method="ivf"),
         # scalar (int8) quantization: the codebook-free compressed tier
         "sq_codes": lambda s, d: similarity.sq_codes(_emb(s, d)),
         "sq_topk": lambda s, d: similarity.sq_topk(_emb(s, d)),
@@ -2479,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_lsh": similarity.ann_recall_sql(method="lsh"),
         "ann_recall_pq": similarity.ann_recall_sql(method="pq"),
         "ann_recall_sq": similarity.ann_recall_sql(method="sq"),
+        "ann_ndcg_ivf": similarity.ann_ndcg_sql(method="ivf"),
         "sq_codes": similarity.sq_codes_sql(),
         "sq_topk": similarity.sq_topk_sql(),
         "label_centroids": similarity.label_centroids_sql(),

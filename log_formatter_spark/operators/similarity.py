@@ -21,6 +21,8 @@ total-order deterministic at any parallelism.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1077,6 +1079,154 @@ hits AS (
 SELECT q.q_id, CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
        CAST(COALESCE(h.n, 0) AS DOUBLE) / {float(k)!r} AS recall
 FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h ON q.q_id = h.q_id
+"""
+
+
+def _ndcg_discounts(k: int) -> tuple[list[float], float]:
+    """Per-rank 1/log2(r+1) discounts and the ideal DCG for graded
+    gains (k, k-1, …, 1) — computed ONCE in Python and rendered as the
+    same literals into both engines, so no engine evaluates log2."""
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    idcg = 0.0
+    for r in range(1, k + 1):
+        idcg = idcg + float(k - r + 1) * disc[r - 1]
+    return disc, idcg
+
+
+def _f64_sql(x: float) -> str:
+    """Render a Python double into SQL BIT-EXACTLY. A plain decimal
+    literal is NOT safe: DuckDB parses it as DECIMAL(18,s) and its
+    decimal→double conversion is off by one ULP for some values
+    (measured: 0.38685280723454163 arrives as …4416). Every IEEE
+    double is num/den with integer num (≤2^53) and den a power of two
+    — both sides exactly representable as doubles, and their quotient
+    is exactly the original value, so this round-trips by IEEE
+    division semantics, not by decimal printing."""
+    num, den = float(x).as_integer_ratio()
+    return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+
+
+def ann_ndcg(
+    emb: DataFrame,
+    method: str = "ivf",
+    k: int = 10,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NDCG@k of a bucketed ANN index vs the exact baseline — the
+    rank-AWARE companion to :func:`ann_recall`: recall treats the top-k
+    as a set, so an index that returns the true top-k in scrambled
+    order (or swaps the #1 hit for the #k one) scores 1.0; NDCG grades
+    each returned neighbor by WHERE the exact ranking put it (gain
+    ``k - exact_rank + 1``, graded, position-discounted), which is what
+    a retrieval stack actually feels. Per query:
+    ``DCG = Σ_r gain(neighbor at approx rank r) / log2(r+1)``,
+    ``ndcg = DCG / IDCG`` with IDCG the perfect-order constant.
+
+    Cross-engine determinism (the bm25 discipline): every discount
+    ``1/log2(r+1)`` and IDCG are Python-computed floats rendered as
+    identical literals into both engines; gains are exact integers; the
+    per-rank contributions are isolated with one conditional sum per
+    rank (each (q_id, approx rank) is unique, so the "sum" is a single
+    value) and added LEFT-TO-RIGHT r=1..k — no engine-ordered float
+    aggregation anywhere. Like ann_recall this is a measurement
+    harness: at 100 TB run it on a query sample, not the corpus.
+    """
+    if method == "ivf":
+        approx = ivf_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        approx = lsh_topk(
+            emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif method == "pq":
+        approx = pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    elif method == "sq":
+        approx = sq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    disc, idcg = _ndcg_discounts(k)
+    gains = exact.select(
+        "q_id",
+        "neighbor_id",
+        (F.lit(k) - F.col("rank") + F.lit(1)).cast("long").alias("gain"),
+    )
+    joined = (
+        approx.select("q_id", "neighbor_id", "rank")
+        .join(gains, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id", "rank", F.coalesce("gain", F.lit(0).cast("long")).alias("gain")
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("rank") == r, F.col("gain"))).cast("long").alias(f"_g{r}")
+        for r in range(1, k + 1)
+    ]
+    per_q = joined.groupBy("q_id").agg(*aggs)
+    dcg = F.lit(0.0)
+    for r in range(1, k + 1):
+        dcg = dcg + F.coalesce(
+            F.col(f"_g{r}").cast("double") * F.lit(disc[r - 1]), F.lit(0.0)
+        )
+    qs = exact.select("q_id").distinct()
+    out = qs.join(per_q, "q_id", "left")
+    return out.select(
+        "q_id",
+        F.coalesce(dcg, F.lit(0.0)).alias("dcg"),
+        (F.coalesce(dcg, F.lit(0.0)) / F.lit(idcg)).alias("ndcg"),
+    )
+
+
+def ann_ndcg_sql(
+    src: str = "embeddings",
+    method: str = "ivf",
+    k: int = 10,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB twin of :func:`ann_ndcg`: identical discount/IDCG
+    literals, the same per-rank CASE sums (BIGINT-cast — the
+    events_pivot HUGEINT lesson), the same left-to-right addition."""
+    if method == "ivf":
+        approx = ivf_topk_sql(src, k=k, n_queries=n_queries)
+    elif method == "pq":
+        approx = pq_topk_sql(src, k=k, n_queries=n_queries)
+    elif method == "lsh":
+        approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
+    elif method == "sq":
+        approx = sq_topk_sql(src, k=k, n_queries=n_queries)
+    else:
+        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    exact = brute_topk_sql(src, k=k, n_queries=n_queries)
+    disc, idcg = _ndcg_discounts(k)
+    case_sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN rank = {r} THEN gain END) AS BIGINT) AS _g{r}"
+        for r in range(1, k + 1)
+    )
+    dcg = "0.0"
+    for r in range(1, k + 1):
+        dcg = f"({dcg} + COALESCE(CAST(_g{r} AS DOUBLE) * {_f64_sql(disc[r - 1])}, 0.0))"
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx}),
+gains AS (
+  SELECT q_id, neighbor_id, CAST({k} - rank + 1 AS BIGINT) AS gain FROM exact
+),
+joined AS (
+  SELECT a.q_id, a.rank, COALESCE(g.gain, 0) AS gain
+  FROM approx a LEFT JOIN gains g
+    ON a.q_id = g.q_id AND a.neighbor_id = g.neighbor_id
+),
+per_q AS (
+  SELECT q_id,
+         {case_sums}
+  FROM joined GROUP BY q_id
+),
+dcgs AS (SELECT q_id, {dcg} AS dcg FROM per_q)
+SELECT q.q_id, COALESCE(d.dcg, 0.0) AS dcg,
+       COALESCE(d.dcg, 0.0) / {_f64_sql(idcg)} AS ndcg
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN dcgs d ON q.q_id = d.q_id
 """
 
 

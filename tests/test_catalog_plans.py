@@ -29,6 +29,10 @@ CROSS_PRODUCT_OK = {
     #                      join IS the compressed scan (tiny query side,
     #                      corpus side reads int8 codes only)
     "ann_recall_sq", "sq_topk",
+    #   ann_ndcg_ivf     — same measurement-harness shape as ann_recall:
+    #                      the exact baseline side is the documented
+    #                      broadcast non-equi scan
+    "ann_ndcg_ivf",
 }
 
 # streaming_pipeline_counts executes a full streaming job on call, and
