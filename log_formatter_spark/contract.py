@@ -1212,24 +1212,20 @@ def _kafka_pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hash bucket — the
     standard reproducible-split primitive for training corpora (pure
-    function of doc_id: stable across reruns, cluster sizes, engines)."""
-    from log_formatter_spark.functions.hashing import md5_60
-
+    function of doc_id: stable across reruns, cluster sizes, engines).
+    The rule itself is THE shared :func:`corpus.split_assign`, so this
+    per-doc split and ``cluster_split``'s cluster-granular split can
+    never drift apart (the refinement property depends on it)."""
     docs = _docs(spark, sf_dir)
-    bucket = F.pmod(md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
-    return docs.select("doc_id", bucket.cast("int").alias("bucket"), split.alias("split"))
+    bucket, split = corpus.split_assign(F.col("doc_id"))
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
-from log_formatter_spark.functions.hashing import MD5_60_SQL as _H60
+_DS_B, _DS_CASE = corpus.split_assign_sql("doc_id")
 
 _DATASET_SPLIT_SQL = f"""
-SELECT doc_id, CAST(b AS INTEGER) AS bucket,
-       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id, {_H60.format(x="(CAST(doc_id AS VARCHAR) || ':split')")} % 100 AS b
-      FROM documents)
+SELECT doc_id, CAST(b AS INTEGER) AS bucket, {_DS_CASE} AS split
+FROM (SELECT doc_id, {_DS_B} AS b FROM documents)
 """
 
 

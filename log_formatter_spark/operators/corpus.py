@@ -176,6 +176,41 @@ FROM crossed
 """
 
 
+def split_assign(key: Column, train_pct: int = 80, val_pct: int = 90):
+    """THE deterministic hash-split rule — ``pmod(md5_60(key ||
+    ':split'), 100)`` with ``< train_pct`` train / ``< val_pct`` val —
+    defined ONCE and shared by the per-doc split (contract
+    ``_dataset_split``) and :func:`cluster_split`, so the refinement
+    property (a singleton cluster keeps its per-doc assignment) is
+    guaranteed by construction, not by four hand-synced renderings.
+    Returns ``(bucket, split)`` columns."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    bucket = F.pmod(
+        md5_60(F.concat(key.cast("string"), F.lit(":split"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < val_pct, "val")
+        .otherwise("test")
+    )
+    return bucket.cast("int"), split
+
+
+def split_assign_sql(key_sql: str, train_pct: int = 80, val_pct: int = 90):
+    """SQL twin of :func:`split_assign`: returns ``(bucket_expr,
+    case_expr_over_b)`` — the caller aliases the bucket expression as
+    ``b`` in an inner SELECT and applies the CASE outside."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    b = MD5_60_SQL.format(x=f"(CAST({key_sql} AS VARCHAR) || ':split')") + " % 100"
+    case = (
+        f"CASE WHEN b < {train_pct} THEN 'train' "
+        f"WHEN b < {val_pct} THEN 'val' ELSE 'test' END"
+    )
+    return b, case
+
+
 def cluster_split(
     docs: DataFrame,
     pairs: DataFrame,
@@ -207,23 +242,14 @@ def cluster_split(
     100 TB the pair table is the (small) dedup output and the label
     frame is one row per doc; nothing here is quadratic.
     """
-    from log_formatter_spark.functions.hashing import md5_60
     from log_formatter_spark.operators.dedup import cluster_pairs
 
     labels = cluster_pairs(docs, pairs, id_col=id_col)
-    bucket = F.pmod(
-        md5_60(F.concat(F.col("cluster_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < train_pct, "train")
-        .when(bucket < val_pct, "val")
-        .otherwise("test")
-    )
+    bucket, split = split_assign(F.col("cluster_id"), train_pct, val_pct)
     return labels.select(
         id_col,
         "cluster_id",
-        bucket.cast("int").alias("bucket"),
+        bucket.alias("bucket"),
         split.alias("split"),
     )
 
@@ -237,18 +263,15 @@ def cluster_split_sql(
 ) -> str:
     """DuckDB twin of :func:`cluster_split`: recursive-CTE components
     (a different CC algorithm than Spark's label propagation — the
-    strongest cross-engine evidence) + the same md5-bucket split rule
-    applied to ``cluster_id``."""
-    from log_formatter_spark.functions.hashing import MD5_60_SQL
+    strongest cross-engine evidence) + the shared
+    :func:`split_assign_sql` rule applied to ``cluster_id``."""
     from log_formatter_spark.operators.dedup import cluster_pairs_sql
 
-    h = MD5_60_SQL.format(x="(CAST(cluster_id AS VARCHAR) || ':split')")
+    b, case = split_assign_sql("cluster_id", train_pct, val_pct)
     return f"""
 SELECT {id_col}, cluster_id, CAST(b AS INTEGER) AS bucket,
-       CASE WHEN b < {train_pct} THEN 'train'
-            WHEN b < {val_pct} THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT {id_col}, cluster_id, {h} % 100 AS b
+       {case} AS split
+FROM (SELECT {id_col}, cluster_id, {b} AS b
       FROM ({cluster_pairs_sql(pairs_cte, src=src, id_col=id_col)}))
 """
 

@@ -1000,6 +1000,45 @@ def train_centroids(
 # --- ANN quality measurement ---------------------------------------------
 
 
+def _approx_topk(
+    emb: DataFrame,
+    method: str,
+    k: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """THE ANN-method dispatch, shared by every index-quality harness
+    (:func:`ann_recall`, :func:`ann_ndcg`) so the method set, the lsh
+    anchor default, and the error message exist exactly once."""
+    if method == "ivf":
+        return ivf_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        return lsh_topk(
+            emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if method == "pq":
+        return pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    if method == "sq":
+        return sq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+
+
+def _approx_topk_sql(src: str, method: str, k: int, n_queries: int) -> str:
+    """SQL twin of :func:`_approx_topk` — same dispatch, one place."""
+    if method == "ivf":
+        return ivf_topk_sql(src, k=k, n_queries=n_queries)
+    if method == "pq":
+        return pq_topk_sql(src, k=k, n_queries=n_queries)
+    if method == "lsh":
+        return lsh_topk_sql(src, k=k, n_queries=n_queries)
+    if method == "sq":
+        return sq_topk_sql(src, k=k, n_queries=n_queries)
+    # mirror the DataFrame twin — a typo must not yield lsh SQL
+    raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+
+
 def ann_recall(
     emb: DataFrame,
     method: str = "ivf",
@@ -1023,19 +1062,7 @@ def ann_recall(
     measurement harness, priced accordingly (run it on a sample at
     100 TB, not the corpus).
     """
-    if method == "ivf":
-        approx = ivf_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    elif method == "lsh":
-        approx = lsh_topk(
-            emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
-            id_col=id_col, vec_col=vec_col,
-        )
-    elif method == "pq":
-        approx = pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    elif method == "sq":
-        approx = sq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    else:
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    approx = _approx_topk(emb, method, k, n_queries, id_col, vec_col)
     exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     hits = (
         exact.select("q_id", "neighbor_id")
@@ -1057,16 +1084,7 @@ def ann_recall_sql(
     k: int = 10,
     n_queries: int = 8,
 ) -> str:
-    if method == "ivf":
-        approx = ivf_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "pq":
-        approx = pq_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "lsh":
-        approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "sq":
-        approx = sq_topk_sql(src, k=k, n_queries=n_queries)
-    else:  # mirror the DataFrame twin — a typo must not yield lsh SQL
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    approx = _approx_topk_sql(src, method, k, n_queries)
     exact = brute_topk_sql(src, k=k, n_queries=n_queries)
     return f"""
 WITH exact AS ({exact}),
@@ -1133,19 +1151,7 @@ def ann_ndcg(
     aggregation anywhere. Like ann_recall this is a measurement
     harness: at 100 TB run it on a query sample, not the corpus.
     """
-    if method == "ivf":
-        approx = ivf_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    elif method == "lsh":
-        approx = lsh_topk(
-            emb, k=k, n_queries=n_queries, n_anchors=N_ANCHORS,
-            id_col=id_col, vec_col=vec_col,
-        )
-    elif method == "pq":
-        approx = pq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    elif method == "sq":
-        approx = sq_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
-    else:
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    approx = _approx_topk(emb, method, k, n_queries, id_col, vec_col)
     exact = brute_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
     disc, idcg = _ndcg_discounts(k)
     gains = exact.select(
@@ -1188,16 +1194,7 @@ def ann_ndcg_sql(
     """DuckDB twin of :func:`ann_ndcg`: identical discount/IDCG
     literals, the same per-rank CASE sums (BIGINT-cast — the
     events_pivot HUGEINT lesson), the same left-to-right addition."""
-    if method == "ivf":
-        approx = ivf_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "pq":
-        approx = pq_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "lsh":
-        approx = lsh_topk_sql(src, k=k, n_queries=n_queries)
-    elif method == "sq":
-        approx = sq_topk_sql(src, k=k, n_queries=n_queries)
-    else:
-        raise ValueError(f"unknown method {method!r} (ivf|lsh|pq|sq)")
+    approx = _approx_topk_sql(src, method, k, n_queries)
     exact = brute_topk_sql(src, k=k, n_queries=n_queries)
     disc, idcg = _ndcg_discounts(k)
     case_sums = ",\n         ".join(

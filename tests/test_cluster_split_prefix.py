@@ -94,6 +94,40 @@ def test_prefix_share_known_depths(spark):
     }
 
 
+def test_prefix_share_null_text_is_its_own_value(spark):
+    """A NULL first turn must NOT masquerade as a neighbor's prefix
+    (the dropped-NULL slice-misalignment hazard): conv n starts NULL,
+    conv a starts 'hello' — no sharing. Two convs BOTH starting NULL
+    do share (NULL is a value, consistently)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [
+        ("a", 0, "hello"),
+        ("a", 1, "x"),
+        ("n", 0, None),
+        ("n", 1, "x"),
+        ("m", 0, None),
+        ("m", 1, "y"),
+    ]
+    got = {
+        r["conv_id"]: r["shared_depth"]
+        for r in prefix_share(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == {"a": 0, "n": 1, "m": 1}
+
+
 def test_prefix_share_on_empty_input(spark, sf_dir):
     out = prefix_share(transcripts_from_events(spark, sf_dir).limit(0))
     assert out.count() == 0
