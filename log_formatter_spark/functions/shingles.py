@@ -63,6 +63,33 @@ SELECT DISTINCT {id_col}, shingle FROM (
 """
 
 
+def rowwise_shingles(toks_col, n: int = 3):
+    """Per-ROW shingle ARRAY over an already-tokenized column — the
+    stateless form streaming-safe operators build on (no explode, no
+    groupBy): ``dedup.rowwise_minhash`` folds it per row,
+    ``dedup.containment_probe`` set-ifies it with ``array_distinct``.
+    One definition of the n-window concat so the per-row and exploded
+    (:func:`shingle_df`) renderings can never drift. Caller must
+    pre-filter ``size(toks) >= n`` (an undersized array yields a
+    DESCENDING sequence, not an empty one)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_col, i + F.lit(k)) for k in range(n)]
+        ),
+    )
+
+
+def rowwise_shingles_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`rowwise_shingles` over a list
+    expression named/aliased ``toks_expr``."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {k}]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) - {n - 1}),"
+        f" i -> {parts})"
+    )
+
+
 def positional_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

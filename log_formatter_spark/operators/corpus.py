@@ -2300,7 +2300,6 @@ RATER_B_MIN_TOKENS = 20
 
 def rater_agreement(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
 ) -> DataFrame:
@@ -2379,7 +2378,6 @@ def rater_agreement(
 
 def rater_agreement_sql(
     src: str = "documents",
-    id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
 ) -> str:

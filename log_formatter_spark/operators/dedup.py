@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_formatter_spark.functions.hashing import md5_60, MD5_60_SQL
-from log_formatter_spark.functions.shingles import shingle_df, shingles_sql
+from log_formatter_spark.functions.shingles import (
+    rowwise_shingles,
+    shingle_df,
+    shingles_sql,
+)
 from log_formatter_spark.functions.text import tokens, TOKENS_SQL
 from log_formatter_spark.functions.vectors import dot, dot_sql, unit_cte_sql, with_unit
 
@@ -348,16 +352,7 @@ def rowwise_minhash(
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") >= n)
-    sh = base.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(F.col("_toks"), i + F.lit(k)) for k in range(n)],
-            ),
-        ).alias("_sh"),
-    )
+    sh = base.select(id_col, rowwise_shingles(F.col("_toks"), n).alias("_sh"))
     # single-arg lambda factories: pyspark's `transform` interprets a
     # TWO-parameter lambda as (element, index) — a `k=k` default arg
     # would be silently rebound to the array-index column
@@ -812,6 +807,74 @@ WHERE a.{id_col} < b.{id_col}
 # --- exact n-gram jaccard -------------------------------------------------
 
 
+def _blocked_overlap(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """THE inverted-index blocking scaffold — shared by
+    :func:`ngram_jaccard_pairs` (symmetric Jaccard) and
+    :func:`containment_pairs` (asymmetric containment) so the
+    hot-shingle guard, size accounting, and a<b self-join exist once.
+    Returns ``(doc_a, doc_b, inter, na, nb)``: shared-shingle pair
+    intersections with both retained set sizes attached."""
+    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _blocked_overlap_ctes(
+    src: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+) -> str:
+    """SQL twin of :func:`_blocked_overlap`: a CTE chain ending in
+    ``overlap(doc_a, doc_b, inter, na, nb)`` for the caller's WITH."""
+    guard = (
+        f"""sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_doc_freq})),"""
+        if max_doc_freq is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
+    return f"""sh0 AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
+{guard}
+sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+inter AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+),
+overlap AS (
+  SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.{id_col}
+             JOIN sizes sb ON inter.doc_b = sb.{id_col}
+)"""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -840,31 +903,9 @@ def ngram_jaccard_pairs(
     the worst shingle's contribution at 10⁸ candidate rows (one
     executor-minute) instead of 10²⁴.
     """
-    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _blocked_overlap(df, n, text_col, id_col, max_doc_freq)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard)
     )
@@ -878,26 +919,11 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
 ) -> str:
-    guard = (
-        f"""sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
-  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_doc_freq})),"""
-        if max_doc_freq is not None
-        else "sh AS (SELECT * FROM sh0),"
-    )
     return f"""
-WITH sh0 AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
-{guard}
-sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
-inter AS (
-  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.{id_col} < b.{id_col}
-  GROUP BY a.{id_col}, b.{id_col}
-)
-SELECT doc_a, doc_b, inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
-FROM inter JOIN sizes sa ON inter.doc_a = sa.{id_col}
-           JOIN sizes sb ON inter.doc_b = sb.{id_col}
-WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {min_jaccard}
+WITH {_blocked_overlap_ctes(src, n, text_col, id_col, max_doc_freq)}
+SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+FROM overlap
+WHERE inter / (na + nb - inter) >= {min_jaccard}
 """
 
 
@@ -925,31 +951,9 @@ def containment_pairs(
     implies shared shingles, so blocking loses nothing. Output adds the
     direction: ``a_in_b`` when A is the smaller (contained) side.
     """
-    sh = shingle_df(df, n=n, text_col=text_col, id_col=id_col)
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     cont = F.col("inter").cast("double") / F.least("na", "nb").cast("double")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _blocked_overlap(df, n, text_col, id_col, max_doc_freq)
         .select(
             "doc_a",
             "doc_b",
@@ -972,28 +976,13 @@ def containment_pairs_sql(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
 ) -> str:
-    guard = (
-        f"""sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
-  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_doc_freq})),"""
-        if max_doc_freq is not None
-        else "sh AS (SELECT * FROM sh0),"
-    )
     return f"""
-WITH sh0 AS ({shingles_sql(src, n=n, text_col=text_col, id_col=id_col)}),
-{guard}
-sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
-inter AS (
-  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.{id_col} < b.{id_col}
-  GROUP BY a.{id_col}, b.{id_col}
-)
+WITH {_blocked_overlap_ctes(src, n, text_col, id_col, max_doc_freq)}
 SELECT doc_a, doc_b, na, nb, containment, direction FROM (
-  SELECT doc_a, doc_b, sa.n_sh AS na, sb.n_sh AS nb,
-         CAST(inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
-         CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END AS direction
-  FROM inter JOIN sizes sa ON inter.doc_a = sa.{id_col}
-             JOIN sizes sb ON inter.doc_b = sb.{id_col}
+  SELECT doc_a, doc_b, na, nb,
+         CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS containment,
+         CASE WHEN na <= nb THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+  FROM overlap
 ) WHERE containment >= {min_containment!r}
 """
 
@@ -1005,6 +994,7 @@ def containment_probe(
     min_containment: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Ingest-time containment gate: for each incoming BATCH doc, every
     CORPUS doc that already contains ≥ ``min_containment`` of its
@@ -1026,24 +1016,38 @@ def containment_probe(
     (batch_doc, corpus_doc) pair count — on a stream, exactly the
     emitted-pairs state, deterministic at any micro-batch slicing.
     ``max(n_sh)`` is the order-free rendering of "n_sh is constant per
-    batch doc"."""
+    batch doc".
+
+    ``max_doc_freq`` is the hot-shingle skew guard the batch twin
+    (:func:`containment_pairs`) carries: shingles present in more than
+    that many CORPUS docs (boilerplate — 'click here to subscribe') are
+    removed from BOTH join sides before pairing, else one hot key makes
+    the bipartite join ~|batch|×|corpus| on a single executor. Unlike
+    the pair twin, the DENOMINATOR ``n_sh`` stays the full batch
+    shingle count — the batch side must remain a per-ROW computation to
+    stay streaming-safe (no driver-collected hot set folded into the
+    array), so the guarded containment is strictly ≤ the unguarded one:
+    boilerplate overlap never counts toward "we already have this", and
+    a guarded gate can only under-reject, never over-reject."""
     base = batch.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
         F.size("_toks") >= n
     )
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("_toks"), i + F.lit(k)) for k in range(n)]
-            ),
-        )
-    )
+    sh_arr = F.array_distinct(rowwise_shingles(F.col("_toks"), n))
     b = base.select(F.col(id_col).alias("batch_doc"), sh_arr.alias("_sh")).select(
         "batch_doc", F.size("_sh").alias("_n_sh"), F.explode("_sh").alias("shingle")
     )
     c = shingle_df(corpus, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col).alias("corpus_doc"), "shingle"
     )
+    if max_doc_freq is not None:
+        hot = (
+            c.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        c = c.join(F.broadcast(hot), on="shingle", how="left_anti")
+        b = b.join(F.broadcast(hot), on="shingle", how="left_anti")
     agg = (
         b.join(c, "shingle")
         .groupBy("batch_doc", "corpus_doc")
@@ -1062,24 +1066,37 @@ def containment_probe_sql(
     min_containment: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> str:
-    """DuckDB rendering; ``batch_cte``/``corpus_cte`` are SELECT bodies."""
+    """DuckDB rendering; ``batch_cte``/``corpus_cte`` are SELECT bodies.
+    Same corpus-side ``max_doc_freq`` hot-shingle guard (both join
+    sides filtered, denominator untouched) as the DataFrame twin."""
+    from log_formatter_spark.functions.shingles import rowwise_shingles_sql
     from log_formatter_spark.functions.text import TOKENS_SQL
 
     toks = TOKENS_SQL.format(x=text_col)
-    parts = " || ' ' || ".join(f"_toks[i + {k}]" for k in range(n))
+    if max_doc_freq is not None:
+        hot = (
+            "hot AS (SELECT shingle FROM c0 GROUP BY shingle"
+            f" HAVING count(*) > {max_doc_freq}),\n"
+            "c AS (SELECT * FROM c0 WHERE shingle NOT IN (SELECT shingle FROM hot)),\n"
+            "b AS (SELECT * FROM b0 WHERE shingle NOT IN (SELECT shingle FROM hot)),"
+        )
+    else:
+        hot = "c AS (SELECT * FROM c0),\nb AS (SELECT * FROM b0),"
     return f"""
 WITH bt AS (
   SELECT {id_col} AS batch_doc,
-         list_distinct(list_transform(generate_series(1, len(_toks) - {n - 1}), i -> {parts})) AS _sh
+         list_distinct({rowwise_shingles_sql("_toks", n)}) AS _sh
   FROM (SELECT {id_col}, {toks} AS _toks FROM ({batch_cte}) _bsrc) _bt
   WHERE len(_toks) >= {n}
 ),
-b AS (SELECT batch_doc, CAST(len(_sh) AS INTEGER) AS _n_sh, unnest(_sh) AS shingle FROM bt),
-c AS (
+b0 AS (SELECT batch_doc, CAST(len(_sh) AS INTEGER) AS _n_sh, unnest(_sh) AS shingle FROM bt),
+c0 AS (
   SELECT {id_col} AS corpus_doc, shingle
   FROM ({shingles_sql(f"({corpus_cte}) _csrc", n=n, text_col=text_col, id_col=id_col)})
 ),
+{hot}
 agg AS (
   SELECT batch_doc, corpus_doc, count(*) AS inter, max(_n_sh) AS n_sh
   FROM b JOIN c USING (shingle)

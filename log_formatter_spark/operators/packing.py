@@ -237,7 +237,6 @@ LENGTH_MAX_BUCKET = 4096
 def length_buckets(
     docs: DataFrame,
     max_bucket: int = LENGTH_MAX_BUCKET,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Padding-efficiency report for length-bucketed batch assembly:
@@ -302,12 +301,18 @@ def length_buckets(
 def length_buckets_sql(
     src: str = "documents",
     max_bucket: int = LENGTH_MAX_BUCKET,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
     """DuckDB rendering of :func:`length_buckets` — same integer
     power-list probe (list_min over list_filter), same end-only double
-    division; the HUGEINT sum promotions cast back to BIGINT."""
+    division; the HUGEINT sum promotions cast back to BIGINT. Rejects a
+    non-power-of-two ``max_bucket`` exactly like the DataFrame twin —
+    without the check the rendered power list silently tops out below
+    ``max_bucket`` and over-length docs get NULL buckets (an
+    engine-asymmetry where Spark errors and the oracle returns wrong
+    rows)."""
+    if max_bucket & (max_bucket - 1) or max_bucket <= 0:
+        raise ValueError(f"max_bucket must be a power of two, got {max_bucket}")
     powers = []
     p = 1
     while p <= max_bucket:

@@ -641,22 +641,23 @@ def hard_negatives(
     )
 
 
-def hard_negatives_sql(
-    src: str = "embeddings",
-    k: int = 10,
-    n_queries: int = 8,
-    n_centroids: int = N_CENTROIDS,
-    n_probe: int = N_PROBE,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
+def _labeled_ivf_cells_ctes(
+    src: str,
+    n_queries: int,
+    n_centroids: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
 ) -> str:
-    """DuckDB rendering of :func:`hard_negatives` — ivf_topk_sql with
-    the label riding the unit CTE and the inequality on the pair join."""
+    """THE labeled IVF-cell CTE block — unit vectors with labels,
+    lowest-id anchor centroids, cell assignment (rn=1) and query probes
+    (rn ≤ n_probe) — shared by :func:`hard_negatives_sql` and
+    :func:`contrastive_triplets_sql` so the anchor/tie-break rule can
+    never drift between the two oracles (and stays aligned with
+    ``ivf_topk_sql``'s unlabeled rendering)."""
     d = dot_sql("v.uv", "c.cu")
-    cos = dot_sql("q.qu", "n.cu")
-    return f"""
-WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
+    return f"""u AS ({unit_cte_sql(src, id_col, vec_col)}),
 ul AS (
   SELECT u.{id_col} AS id, u.uv, e.{label_col} AS lbl
   FROM u JOIN {src} e USING ({id_col})
@@ -675,7 +676,27 @@ probes AS (
   SELECT id AS q_id, uv AS qu, lbl AS q_lbl, cid AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
   ) WHERE id < {n_queries} AND rn <= {n_probe}
-),
+)"""
+
+
+def hard_negatives_sql(
+    src: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB rendering of :func:`hard_negatives` — ivf_topk_sql with
+    the label riding the unit CTE and the inequality on the pair join."""
+    cos = dot_sql("q.qu", "n.cu")
+    cells = _labeled_ivf_cells_ctes(
+        src, n_queries, n_centroids, n_probe, id_col, vec_col, label_col
+    )
+    return f"""
+WITH {cells},
 pairs AS (
   SELECT q.q_id, n.id AS neg_id, n.lbl AS neg_label, {cos} AS cos
   FROM (SELECT a.id, a.uv AS cu, a.lbl, a.cell FROM assigned a) n
@@ -807,32 +828,15 @@ def contrastive_triplets_sql(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> str:
-    """DuckDB rendering of :func:`contrastive_triplets` —
-    hard_negatives_sql's cell CTEs with the label-equality flag
-    splitting one scored candidate set into the pos/neg ranks."""
-    d = dot_sql("v.uv", "c.cu")
+    """DuckDB rendering of :func:`contrastive_triplets` — the shared
+    labeled-cell CTE block with the label-equality flag splitting one
+    scored candidate set into the pos/neg ranks."""
     cos = dot_sql("q.qu", "n.cu")
+    cells = _labeled_ivf_cells_ctes(
+        src, n_queries, n_centroids, n_probe, id_col, vec_col, label_col
+    )
     return f"""
-WITH u AS ({unit_cte_sql(src, id_col, vec_col)}),
-ul AS (
-  SELECT u.{id_col} AS id, u.uv, e.{label_col} AS lbl
-  FROM u JOIN {src} e USING ({id_col})
-),
-cents AS (
-  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, uv AS cu
-  FROM ul ORDER BY id LIMIT {n_centroids}
-),
-dots AS (SELECT v.id, v.uv, v.lbl, c.cid, {d} AS d FROM ul v, cents c),
-assigned AS (
-  SELECT id, uv, lbl, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT id AS q_id, uv AS qu, lbl AS q_lbl, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn FROM dots
-  ) WHERE id < {n_queries} AND rn <= {n_probe}
-),
+WITH {cells},
 scored AS (
   SELECT q.q_id, n.id AS c_id, q.q_lbl = n.lbl AS same, {cos} AS cos
   FROM (SELECT a.id, a.uv AS cu, a.lbl, a.cell FROM assigned a) n
@@ -1987,6 +1991,10 @@ def sq_topk(
         cents = resolve_centroids(
             emb, u, n_centroids, centroids, id_col=id_col, vec_col=vec_col
         )
+        if not cents:  # empty corpus/centroid set: schema-stable empty result
+            return emb.sparkSession.createDataFrame(
+                [], "q_id long, neighbor_id long, rank int, approx_cos double"
+            )
         assigned, probes = _cell_assign(u, cents, n_queries, n_probe, id_col)
         c = assigned.select(
             F.col(id_col).alias("neighbor_id"),

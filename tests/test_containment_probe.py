@@ -47,6 +47,54 @@ def test_probe_threshold_and_disjoint(spark):
     assert r["containment"] == 0.5  # 2 of doc 0's 4 shingles
 
 
+def test_probe_hot_shingle_guard(spark):
+    """max_doc_freq removes corpus-boilerplate shingles from BOTH join
+    sides but leaves the denominator alone: overlap through the hot
+    shingle stops counting, genuine overlap still does, and the guarded
+    containment is always <= the unguarded one."""
+    boiler = "click here to subscribe"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"u{i} v{i} w{i} " + boiler) for i in range(6)]
+        + [Row(doc_id=200, text="a b c d e f " + boiler)]
+    )
+    batch = _docs(spark, ["a b c d e f " + boiler])
+    raw = containment_probe(batch, corpus, n=3, min_containment=0.0).collect()
+    guarded = containment_probe(
+        batch, corpus, n=3, min_containment=0.0, max_doc_freq=3
+    ).collect()
+    raw_m = {(r["batch_doc"], r["corpus_doc"]): r for r in raw}
+    g_m = {(r["batch_doc"], r["corpus_doc"]): r for r in guarded}
+    # boilerplate-only pairs vanish entirely under the guard
+    assert any(c >= 100 and c < 200 for _, c in raw_m)
+    assert all(not (100 <= c < 200) for _, c in g_m)
+    # the genuine-content pair survives with boilerplate overlap removed
+    r, g = raw_m[(0, 200)], g_m[(0, 200)]
+    assert g["n_sh"] == r["n_sh"]  # denominator untouched
+    assert g["inter"] < r["inter"]
+    assert g["containment"] < r["containment"]
+    # DuckDB twin agrees under the guard
+    import duckdb
+
+    from log_formatter_spark.operators.dedup import containment_probe_sql
+
+    con = duckdb.connect()
+    con.register("bt_in", batch.toPandas())
+    con.register("cp_in", corpus.toPandas())
+    sql = containment_probe_sql(
+        "SELECT * FROM bt_in", "SELECT * FROM cp_in", n=3,
+        min_containment=0.0, max_doc_freq=3,
+    )
+    oracle = {
+        (r.batch_doc, r.corpus_doc): (r.n_sh, r.inter, r.containment)
+        for r in con.execute(sql).df().itertuples()
+    }
+    got = {
+        (r["batch_doc"], r["corpus_doc"]): (r["n_sh"], r["inter"], r["containment"])
+        for r in guarded
+    }
+    assert got == oracle
+
+
 def test_streaming_equals_batch_under_slicing(spark, sf_dir):
     """One file per trigger over 4 files: the complete-mode final table
     must equal the batch definition row-for-row."""
