@@ -1599,6 +1599,10 @@ _GATE_ORDER = [
     # round-5 session-8 addition (window-placed per the freeze rule,
     # displacing one more refresh): rank-aware ANN quality (NDCG@k)
     "ann_ndcg_ivf",
+    # round-5 session-9 addition (window-placed per the freeze rule,
+    # displacing the parse_labels refresh): CCNet cross-corpus
+    # line-level dedup over the deterministic line fixture
+    "line_dedup",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
     "parse_labels",
@@ -2081,6 +2085,13 @@ def _catalog() -> dict[str, QueryFn]:
         "cluster_split": lambda s, d: corpus.cluster_split(
             _docs(s, d), dedup.minhash_pairs(_docs(s, d), n=3, min_est=0.5)
         ),
+        # CCNet cross-corpus line dedup: first occurrence of every exact
+        # line survives, later copies stripped; the deterministic
+        # line_fixture injects the per-source header / corpus footer
+        # boilerplate the rule exists to remove
+        "line_dedup": lambda s, d: corpus.line_dedup(
+            corpus.line_fixture(_docs(s, d))
+        ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
         # corpus sampling (mixing-weights curation)
         "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
@@ -2434,6 +2445,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_split": corpus.cluster_split_sql(
             dedup.minhash_pairs_sql(n=3, min_est=0.5)
+        ),
+        "line_dedup": corpus.line_dedup_sql(
+            src=f"({corpus.line_fixture_sql('documents')}) _lfx"
         ),
         "source_profile": corpus.source_profile_sql(),
         "source_quota_sample": corpus.source_quota_sample_sql(),

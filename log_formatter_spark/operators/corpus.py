@@ -2655,3 +2655,193 @@ SELECT {id_col}, source, quality_score,
        percent_rank() OVER (PARTITION BY source ORDER BY quality_score, {id_col}) AS pct_in_source
 FROM scored
 """
+
+
+# --- cross-corpus line-level dedup (CCNet) ---------------------------------
+
+
+LINE_FIXTURE_WIDTH = 5
+
+
+def line_fixture(
+    docs: DataFrame,
+    width: int = LINE_FIXTURE_WIDTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic line-structured corpus for :func:`line_dedup`: the
+    driver's synthetic documents carry no newlines, so the contract
+    fixture re-chunks each document's tokens into ``width``-token body
+    lines and injects the boilerplate the CCNet line rule exists to
+    strip — a per-source header line (every doc of a source shares it,
+    the per-site nav/promo line of a real crawl) and one corpus-wide
+    footer line (the license blurb). Pure map-only projection; both
+    engines compute the identical string (:func:`line_fixture_sql`)."""
+    toks = tokens(F.col(text_col))
+    n_body = F.greatest(
+        ((F.size(toks) + F.lit(width - 1)) / F.lit(width)).cast("int"), F.lit(1)
+    )
+    body = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n_body),
+            lambda j: F.array_join(
+                F.slice(toks, (j - F.lit(1)) * F.lit(width) + F.lit(1), width), " "
+            ),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    header = F.concat(F.lit("visit "), F.col(source_col), F.lit(" dot com"))
+    footer = F.lit("all rights reserved")
+    lines = F.concat(F.array(header), body, F.array(footer))
+    return docs.select(
+        F.col(id_col), F.array_join(lines, "\n").alias(text_col)
+    )
+
+
+def line_fixture_sql(
+    src: str = "documents",
+    width: int = LINE_FIXTURE_WIDTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB rendering of :func:`line_fixture` — same token re-chunking,
+    same injected header/footer lines, byte-identical output string."""
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=text_col)
+    return f"""
+SELECT {id_col},
+       array_to_string(
+         list_concat(
+           list_concat(
+             ['visit ' || {source_col} || ' dot com'],
+             list_filter(
+               list_transform(
+                 generate_series(1, greatest((len(toks) + {width - 1}) // {width}, 1)),
+                 j -> array_to_string(list_slice(toks, (j - 1) * {width} + 1, j * {width}), ' ')),
+               s -> length(s) > 0)),
+           ['all rights reserved']),
+         chr(10)) AS {text_col}
+FROM (SELECT {id_col}, {source_col}, {toks} AS toks FROM {src}) _lf
+"""
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus LINE-level dedup — the CCNet rule (Wenzek et al.
+    2020; C4 applies the same idea at three-sentence spans): a physical
+    line survives iff it is the globally FIRST occurrence of that exact
+    line, ordered by ``(doc_id, position)``; every later copy anywhere
+    in the corpus is stripped. Granularity sits between
+    :func:`strip_boilerplate` (df-threshold n-gram shingles — removes
+    EVERY copy once hot) and exact doc dedup: nav bars, cookie banners
+    and license footers vanish from all but one document while the
+    first occurrence — and all novel prose — survives verbatim. Output
+    ``({id}, clean_text, n_lines, n_kept)``, one row per input doc
+    (fully-duplicated docs keep an empty clean_text so downstream
+    length filters see them).
+
+    100 TB plan: lines explode map-side from the text scan and are
+    immediately reduced to ``(line_hash, min-struct(doc_id, pos))`` —
+    a map-side-combinable aggregate, so the corpus-wide footer line
+    contributes ONE row per map task to the exchange, not one per
+    occurrence (no hot-key exchange). The probe join back is keyed on
+    the same 60-bit hash; its only skew surface is a boilerplate line's
+    occurrence list against a SINGLE winner row — the shape AQE's
+    skew-join splits for free. Reassembly is one doc-keyed aggregation
+    with the deterministic struct-array_sort rebuild. Total: one
+    aggregate exchange + one hash join + one doc-keyed agg, all linear
+    in corpus bytes."""
+    from log_formatter_spark.functions.hashing import md5_60
+
+    arr = F.filter(F.split(F.col(text_col), "\n"), lambda s: F.length(s) > 0)
+    base = docs.select(F.col(id_col), arr.alias("_arr"))
+    lines = base.select(
+        id_col, F.posexplode("_arr").alias("_p0", "line")
+    ).select(
+        id_col,
+        (F.col("_p0") + F.lit(1)).alias("p"),
+        "line",
+        md5_60(F.col("line")).alias("h"),
+    )
+    winners = lines.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("wid"), F.col("p").alias("wp"))).alias("w")
+    )
+    kept = (
+        lines.join(winners, "h")
+        .where((F.col(id_col) == F.col("w.wid")) & (F.col("p") == F.col("w.wp")))
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("line")))),
+            lambda s: s.getField("line"),
+        ),
+        "\n",
+    )
+    agg = kept.groupBy(id_col).agg(
+        rebuilt.alias("clean_text"), F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        base.select(F.col(id_col), F.size("_arr").cast("bigint").alias("n_lines"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def line_dedup_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`line_dedup` — same 60-bit line hash,
+    same order-free min-struct winner, same position-ordered rebuild."""
+    from log_formatter_spark.functions.hashing import MD5_60_SQL
+
+    h = MD5_60_SQL.format(x="line")
+    return f"""
+WITH la AS (
+  SELECT {id_col},
+         list_filter(string_split({text_col}, chr(10)), s -> length(s) > 0) AS arr
+  FROM {src}
+),
+lx AS (
+  SELECT {id_col}, u.p AS p, u.line AS line, {h} AS h
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(generate_series(1, len(arr)),
+                                 i -> {{'p': i, 'line': arr[i]}})) AS u
+    FROM la WHERE len(arr) > 0
+  )
+),
+win AS (
+  SELECT h, min(struct_pack(wid := {id_col}, wp := p)) AS w
+  FROM lx GROUP BY h
+),
+kept AS (
+  SELECT lx.{id_col}, lx.p, lx.line
+  FROM lx JOIN win USING (h)
+  WHERE lx.{id_col} = (win.w).wid AND lx.p = (win.w).wp
+),
+agg AS (
+  SELECT {id_col},
+         string_agg(line, chr(10) ORDER BY p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY {id_col}
+),
+base AS (SELECT {id_col}, CAST(len(arr) AS BIGINT) AS n_lines FROM la)
+SELECT base.{id_col},
+       coalesce(agg.clean_text, '') AS clean_text,
+       base.n_lines,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+FROM base LEFT JOIN agg USING ({id_col})
+"""

@@ -78,6 +78,7 @@ SHOWCASE = [
     ("quality_calibration", "per-source percentile calibration (narrow projection sort)"),
     ("cluster_split", "leakage-safe cluster split (CC labels + map-only bucket attach)"),
     ("prefix_share", "shared-prefix depth (one conv assembly, broadcast depth attach)"),
+    ("line_dedup", "CCNet line dedup (min-struct winner agg + one hash probe join)"),
 ]
 
 

@@ -71,6 +71,8 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: multimodal.decode_features_exploded(multimodal.attach_payload(d)),
         lambda d: multimodal.frame_sample(multimodal.attach_payload(d)),
         lambda d: multimodal.resize_pooled(multimodal.attach_payload(d)),
+        lambda d: corpus.line_dedup(corpus.line_fixture(d)),
+        lambda d: corpus.line_dedup(d),
     ],
 )
 def test_doc_operators_on_empty_input(spark, empty_docs, build):
