@@ -2761,13 +2761,17 @@ def line_dedup(
 
     arr = F.filter(F.split(F.col(text_col), "\n"), lambda s: F.length(s) > 0)
     base = docs.select(F.col(id_col), arr.alias("_arr"))
+    # coalesce makes the join/group key provably non-nullable, so
+    # Catalyst does not push an isnotnull(key) filter that re-evaluates
+    # the md5 expression per row (the similarity_ivf re-inlining trap;
+    # lines are never NULL — posexplode of a filtered array)
     lines = base.select(
         id_col, F.posexplode("_arr").alias("_p0", "line")
     ).select(
         id_col,
         (F.col("_p0") + F.lit(1)).alias("p"),
         "line",
-        md5_60(F.col("line")).alias("h"),
+        F.coalesce(md5_60(F.col("line")), F.lit(0)).alias("h"),
     )
     winners = lines.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("wid"), F.col("p").alias("wp"))).alias("w")
@@ -2815,7 +2819,7 @@ WITH la AS (
   FROM {src}
 ),
 lx AS (
-  SELECT {id_col}, u.p AS p, u.line AS line, {h} AS h
+  SELECT {id_col}, u.p AS p, u.line AS line, coalesce({h}, 0) AS h
   FROM (
     SELECT {id_col},
            unnest(list_transform(generate_series(1, len(arr)),
