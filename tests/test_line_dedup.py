@@ -101,6 +101,29 @@ def test_randomized_against_brute_force(spark):
     assert got == _spec(docs)
 
 
+def test_unicode_cross_engine_parity(spark):
+    """Non-ASCII lines hash and dedupe identically in both engines —
+    Spark's md5 runs over the UTF-8 cast-to-binary bytes, DuckDB's over
+    the VARCHAR's UTF-8 bytes, so the 60-bit line keys agree."""
+    import duckdb
+
+    rows = [
+        (0, "café au lait\n日本語の行\nnaïve résumé"),
+        (1, "café au lait\nunique ümläut line"),
+        (2, "日本語の行\nemoji \U0001f600 line\nnaïve résumé"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in corpus.line_dedup(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(corpus.line_dedup_sql(src="docs")).fetchall()
+    )
+    assert got == want
+    assert dict((r[0], r[3]) for r in got) == {0: 3, 1: 1, 2: 1}
+
+
 def test_fixed_point_on_fixture(spark, sf_dir):
     """Re-running line_dedup on its own output changes nothing."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
