@@ -124,6 +124,32 @@ def test_unicode_cross_engine_parity(spark):
     assert dict((r[0], r[3]) for r in got) == {0: 3, 1: 1, 2: 1}
 
 
+def test_null_and_empty_text_parity(spark):
+    """NULL text propagates identically in both engines (n_lines NULL,
+    clean_text '', n_kept 0) and empty text yields the 0-line row —
+    the NULL rule is pinned so generic (non-fixture) corpora with
+    missing text cannot silently diverge."""
+    import duckdb
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = [(0, "shared line\nunique a"), (1, None), (2, ""), (3, "shared line")]
+    got = sorted(
+        tuple(r)
+        for r in corpus.line_dedup(spark.createDataFrame(rows, schema)).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(corpus.line_dedup_sql(src="docs")).fetchall()
+    )
+    assert got == want
+    assert got[1] == (1, "", None, 0) and got[3] == (3, "", 1, 0)
+
+
 def test_fixed_point_on_fixture(spark, sf_dir):
     """Re-running line_dedup on its own output changes nothing."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
