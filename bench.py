@@ -146,8 +146,9 @@ HEADLINE = [
     # round 5 session 7: leakage-safe cluster split + shared-prefix depth
     "cluster_split",
     "prefix_share",
-    # round 5 session 9: CCNet cross-corpus line dedup
+    # round 5 session 9: CCNet cross-corpus line dedup + Gopher rules
     "line_dedup",
+    "gopher_rules",
 ]
 
 

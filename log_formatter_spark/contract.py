@@ -1599,9 +1599,11 @@ _GATE_ORDER = [
     # round-5 session-8 addition (window-placed per the freeze rule,
     # displacing one more refresh): rank-aware ANN quality (NDCG@k)
     "ann_ndcg_ivf",
-    # round-5 session-9 addition (window-placed per the freeze rule,
-    # displacing the parse_labels refresh): CCNet cross-corpus
-    # line-level dedup over the deterministic line fixture
+    # round-5 session-9 additions (window-placed per the freeze rule,
+    # displacing the parse_labels and parse_extract refreshes): CCNet
+    # cross-corpus line-level dedup over the deterministic line
+    # fixture, and the named Gopher quality-rule audit
+    "gopher_rules",
     "line_dedup",
     # --- block B: stalest grades (latest row r01/r02), refreshed ------
     "parse_extract",
@@ -2092,6 +2094,11 @@ def _catalog() -> dict[str, QueryFn]:
         "line_dedup": lambda s, d: corpus.line_dedup(
             corpus.line_fixture(_docs(s, d))
         ),
+        # named Gopher rule flags (exact integer decisions) over the
+        # line fixture so the line rules see multi-line docs
+        "gopher_rules": lambda s, d: corpus.gopher_rules(
+            corpus.line_fixture(_docs(s, d))
+        ),
         "source_profile": lambda s, d: corpus.source_profile(_docs(s, d)),
         # corpus sampling (mixing-weights curation)
         "source_quota_sample": lambda s, d: corpus.source_quota_sample(_docs(s, d)),
@@ -2448,6 +2455,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "line_dedup": corpus.line_dedup_sql(
             src=f"({corpus.line_fixture_sql('documents')}) _lfx"
+        ),
+        "gopher_rules": corpus.gopher_rules_sql(
+            src=f"({corpus.line_fixture_sql('documents')}) _gfx"
         ),
         "source_profile": corpus.source_profile_sql(),
         "source_quota_sample": corpus.source_quota_sample_sql(),

@@ -2849,3 +2849,133 @@ SELECT base.{id_col},
        CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
 FROM base LEFT JOIN agg USING ({id_col})
 """
+
+
+# --- Gopher quality rules --------------------------------------------------
+
+
+# The required-stopword list from Gopher/MassiveText (Rae et al. 2021,
+# arXiv:2112.11446 A1.1): a doc must contain >= 2 of these to pass R5.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The NAMED Gopher/MassiveText quality-rule audit (Rae et al. 2021
+    A1.1) — per-document boolean flags for each published rule plus the
+    conjunction, the per-rule diagnostic a curation pipeline wants
+    BEFORE collapsing quality to one score (``corpus_filter`` /
+    ``text_stats`` give a blended score; this says WHICH rule a doc
+    fails):
+
+    - R1 ``ok_word_count``: 50 <= words <= 100,000
+    - R2 ``ok_mean_word_len``: mean word length in [3, 10]
+    - R3 ``ok_symbol_ratio``: (# + ellipsis chars) / words <= 0.1
+    - R4 ``ok_alpha_words``: >= 80% of words contain an alphabetic char
+    - R5 ``ok_stopwords``: >= 2 distinct required stopwords present
+    - R6 ``ok_bullet_lines``: <= 90% of lines start with a bullet
+    - R7 ``ok_ellipsis_lines``: <= 30% of lines end with an ellipsis
+
+    EVERY decision is an exact integer comparison (cross-multiplied
+    ratios — ``10*n_sym <= n_words``, ``10*n_alpha >= 8*n_words``, …),
+    so no float enters any flag and both engines agree exactly on
+    boundary documents (the rate_anomaly discipline). Word-level rules
+    treat newlines as whitespace (a line break separates words); line
+    rules run on the physical non-empty lines. Alphabetic = ASCII
+    [a-z] over the canonical lowercased tokens — the documented
+    simplification ``text_stats``' alpha_ratio already uses.
+
+    100 TB plan: one map-only projection over the text scan — zero
+    shuffles, zero joins, whole-stage codegen end to end; the audit of
+    10^12 docs costs exactly one pass."""
+    flat = F.translate(F.col(text_col), "\n", " ")
+    toks = tokens(flat)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda s: F.length(s) > 0)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        tok_chars_expr(toks).alias("_c"),
+        F.size(F.regexp_extract_all(flat, F.lit("[#…]"), F.lit(0))).alias("_sym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("_alpha"),
+        F.size(F.array_intersect(toks, req)).alias("_req"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda s: (F.substring(s, 1, 2) == "- ")
+                | F.substring(s, 1, 1).isin("•", "*"),
+            )
+        ).alias("_bullet"),
+        F.size(
+            F.filter(lines, lambda s: s.endswith("…") | s.endswith("..."))
+        ).alias("_ell"),
+    )
+    w = F.col("n_words")
+    out = base.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        ((w >= 50) & (w <= 100_000)).alias("ok_word_count"),
+        ((F.col("_c") >= 3 * w) & (F.col("_c") <= 10 * w)).alias("ok_mean_word_len"),
+        (10 * F.col("_sym") <= w).alias("ok_symbol_ratio"),
+        (10 * F.col("_alpha") >= 8 * w).alias("ok_alpha_words"),
+        (F.col("_req") >= 2).alias("ok_stopwords"),
+        (10 * F.col("_bullet") <= 9 * F.col("n_lines")).alias("ok_bullet_lines"),
+        (10 * F.col("_ell") <= 3 * F.col("n_lines")).alias("ok_ellipsis_lines"),
+    )
+    flags = [c for c in out.columns if c.startswith("ok_")]
+    expr = F.col(flags[0])
+    for c in flags[1:]:
+        expr = expr & F.col(c)
+    return out.withColumn("pass_gopher", expr)
+
+
+def gopher_rules_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`gopher_rules` — same integer
+    cross-multiplied decisions, same token/line definitions."""
+    from log_formatter_spark.functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x=f"replace({text_col}, chr(10), ' ')")
+    req = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST(len(toks) AS INTEGER) AS n_words,
+         CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS _c,
+         CAST(len(regexp_extract_all(replace({text_col}, chr(10), ' '), '[#…]')) AS INTEGER) AS _sym,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS INTEGER) AS _alpha,
+         CAST(len(list_intersect(toks, {req})) AS INTEGER) AS _req,
+         CAST(len(lns) AS INTEGER) AS n_lines,
+         CAST(len(list_filter(lns, s -> s LIKE '- %' OR left(s, 1) IN ('•', '*'))) AS INTEGER) AS _bullet,
+         CAST(len(list_filter(lns, s -> s LIKE '%…' OR s LIKE '%...')) AS INTEGER) AS _ell
+  FROM (
+    SELECT {id_col}, {text_col}, {toks} AS toks,
+           list_filter(string_split({text_col}, chr(10)), s -> length(s) > 0) AS lns
+    FROM {src}
+  )
+)
+SELECT {id_col}, n_words, n_lines,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (_c >= 3 * n_words AND _c <= 10 * n_words) AS ok_mean_word_len,
+       (10 * _sym <= n_words) AS ok_symbol_ratio,
+       (10 * _alpha >= 8 * n_words) AS ok_alpha_words,
+       (_req >= 2) AS ok_stopwords,
+       (10 * _bullet <= 9 * n_lines) AS ok_bullet_lines,
+       (10 * _ell <= 3 * n_lines) AS ok_ellipsis_lines,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (_c >= 3 * n_words AND _c <= 10 * n_words)
+        AND (10 * _sym <= n_words)
+        AND (10 * _alpha >= 8 * n_words)
+        AND (_req >= 2)
+        AND (10 * _bullet <= 9 * n_lines)
+        AND (10 * _ell <= 3 * n_lines)) AS pass_gopher
+FROM base
+"""

@@ -79,6 +79,7 @@ SHOWCASE = [
     ("cluster_split", "leakage-safe cluster split (CC labels + map-only bucket attach)"),
     ("prefix_share", "shared-prefix depth (one conv assembly, broadcast depth attach)"),
     ("line_dedup", "CCNet line dedup (min-struct winner agg + one hash probe join)"),
+    ("gopher_rules", "Gopher quality-rule audit (map-only, zero exchanges)"),
 ]
 
 

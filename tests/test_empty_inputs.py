@@ -73,6 +73,7 @@ def test_parser_on_empty_input(spark, empty_transcripts):
         lambda d: multimodal.resize_pooled(multimodal.attach_payload(d)),
         lambda d: corpus.line_dedup(corpus.line_fixture(d)),
         lambda d: corpus.line_dedup(d),
+        lambda d: corpus.gopher_rules(d),
     ],
 )
 def test_doc_operators_on_empty_input(spark, empty_docs, build):
